@@ -1,0 +1,109 @@
+"""Volume sampling along rays: nearest (parity) and trilinear (differentiable).
+
+Replaces the reference's ``custom_nearest_sampler``
+(``src/renderer.py:741-819``: round, clamp per-axis, fancy-index — with
+matplotlib plotting inside the hot path, which we do not port) with pure
+jittable gathers.  ``nearest`` reproduces the reference bit-for-bit
+semantics (round-half-to-even like torch, clamp to ``[0, dim-1]``);
+``trilinear`` makes the sample differentiable w.r.t. the query points so
+pose gradients survive (the reference's rounding kills them,
+``src/renderer.py:754-756`` — the known limitation motivating BASELINE's
+trilinear requirement).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ray_points(
+    source: jax.Array, directions: jax.Array, num_samples: int, step: float = 1.0
+) -> jax.Array:
+    """Sample points along rays: ``points = source + steps * directions``.
+
+    Mirrors ``trace_ray``'s point generation (``src/renderer.py:119-124``);
+    steps are ``0..num_samples-1`` in voxel units.
+
+    Args:
+      source: ``(3,)`` ray origin (voxel coordinates).
+      directions: ``(n_rays, 3)`` unit direction vectors.
+    Returns:
+      ``(n_rays, num_samples, 3)`` float points.
+    """
+    steps = jnp.arange(num_samples, dtype=jnp.float32) * step
+    return source[None, None, :] + steps[None, :, None] * directions[:, None, :]
+
+
+def sample_nearest(volume: jax.Array, points: jax.Array):
+    """Nearest-neighbor gather at real-valued points (parity mode).
+
+    Round half-to-even (numpy/torch convention) then clamp each coordinate
+    component ``i`` to ``[0, volume.shape[i] - 1]`` — exactly the
+    reference sampler (``src/renderer.py:754-759``).
+
+    Args:
+      volume: ``(D, H, W)``.
+      points: ``(..., 3)``.
+    Returns:
+      ``(idx, values)``: integer coords ``(..., 3)`` (int32) and sampled
+      values ``(...,)``.
+    """
+    dims = jnp.asarray(volume.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims - 1)
+    values = volume[idx[..., 0], idx[..., 1], idx[..., 2]]
+    return idx, values
+
+
+def sample_trilinear(volume: jax.Array, points: jax.Array):
+    """Trilinearly interpolated gather, differentiable w.r.t. ``points``.
+
+    Coordinates are clamped to the valid cube before interpolation
+    (border behavior matches the nearest sampler's clamp).  At integer
+    points this equals the nearest sample, so parity tests can pin both.
+
+    Returns:
+      ``(idx, values)`` where ``idx`` are the *rounded* integer coords
+      (same convention as :func:`sample_nearest`, used downstream for
+      splatting) and ``values`` the interpolated samples.
+    """
+    dims = jnp.asarray(volume.shape, dtype=points.dtype)
+    p = jnp.clip(points, 0.0, dims - 1.0)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = p0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(volume.shape, jnp.int32) - 1)
+
+    def gather(ix, iy, iz):
+        return volume[ix, iy, iz]
+
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
+
+    c000 = gather(x0, y0, z0)
+    c001 = gather(x0, y0, z1)
+    c010 = gather(x0, y1, z0)
+    c011 = gather(x0, y1, z1)
+    c100 = gather(x1, y0, z0)
+    c101 = gather(x1, y0, z1)
+    c110 = gather(x1, y1, z0)
+    c111 = gather(x1, y1, z1)
+
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    values = c0 * (1 - fx) + c1 * fx
+
+    dims_i = jnp.asarray(volume.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
+    return idx, values
+
+
+SAMPLERS = {
+    "nearest": sample_nearest,
+    "trilinear": sample_trilinear,
+}

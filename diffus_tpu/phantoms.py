@@ -1,0 +1,80 @@
+"""Synthetic phantoms: golden-test fixtures and demo scenes.
+
+Rebuild of the reference's notebook-resident phantom generator
+(``generate_brain_phantom_2d``, ``[DEMO] Modeling Choices.ipynb`` cell 5)
+plus a 3D extension used as the standard test/bench volume (the shipped
+reference repo contains no actual NIfTI data, only dataset metadata).
+Impedance values follow the reference tissue table (Rayl).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BRAIN_Z = 1.60e6
+TUMOR_Z = 1.68e6
+CSF_Z = 1.50e6
+BONE_Z = 7.80e6
+AIR_Z = 0.0004e6
+
+
+def brain_phantom_2d(rows: int = 20, cols: int = 10) -> np.ndarray:
+    """2D brain phantom: elliptical brain + CSF shell + tumor box + bone row.
+
+    Parity with ``generate_brain_phantom_2d`` (``[DEMO] Modeling
+    Choices.ipynb`` cell 5): air background, brain ellipse
+    (rx=0.8, ry=0.95), CSF shell (0.88, 1.05), tumor box (|x|<0.2,
+    |y|<0.3), bone along the last brain row.
+    """
+    phantom = np.full((rows, cols), AIR_Z, dtype=np.float32)
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, rows), np.linspace(-1, 1, cols), indexing="ij"
+    )
+    brain_mask = (xx**2 / 0.8**2 + yy**2 / 0.95**2) <= 1.0
+    phantom[brain_mask] = BRAIN_Z
+    csf_mask = (xx**2 / 0.88**2 + yy**2 / 1.05**2) <= 1.0
+    phantom[csf_mask & ~brain_mask] = CSF_Z
+    tumor_box = (np.abs(xx) < 0.2) & (np.abs(yy) < 0.3)
+    phantom[tumor_box & brain_mask] = TUMOR_Z
+    brain_rows = np.where(brain_mask.any(axis=1))[0]
+    bottom = brain_rows[-1]
+    phantom[bottom, brain_mask[bottom]] = BONE_Z
+    return phantom
+
+
+def brain_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
+    """3D analogue: ellipsoidal brain + CSF shell + tumor blob + bone shell
+    in an air background.  The standard fixture for render/parity tests
+    and the benchmark volume (at 256^3, matching the ReMIND2Reg spec:
+    256x256x256 @ 0.5mm, ``ReMIND2Reg_dataset/info.txt``)."""
+    d, h, w = shape
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, d),
+        np.linspace(-1, 1, h),
+        np.linspace(-1, 1, w),
+        indexing="ij",
+    )
+    vol = np.full(shape, AIR_Z, dtype=np.float32)
+    r2_brain = xx**2 / 0.8**2 + yy**2 / 0.95**2 + zz**2 / 0.9**2
+    r2_csf = xx**2 / 0.88**2 + yy**2 / 1.05**2 + zz**2 / 0.98**2
+    vol[r2_csf <= 1.0] = CSF_Z
+    vol[r2_brain <= 1.0] = BRAIN_Z
+    tumor = ((xx - 0.15) ** 2 + (yy + 0.1) ** 2 + (zz - 0.05) ** 2) <= 0.2**2
+    vol[tumor & (r2_brain <= 1.0)] = TUMOR_Z
+    skull = (r2_csf <= 1.15) & (r2_csf > 1.0)
+    vol[skull] = BONE_Z
+    return vol
+
+
+def t1_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
+    """Synthetic T1-intensity volume matching :func:`brain_phantom_3d`'s
+    anatomy, with intensities from the reference tissue table
+    (WM/GM ~780-920, CSF 2500, air 0) — the input for impedance-mapping
+    tests (table from ``[DEMO] REUBEN DATA 46.ipynb`` cell 1)."""
+    z = brain_phantom_3d(shape)
+    t1 = np.zeros_like(z)
+    t1[z == BRAIN_Z] = 850.0   # between WM 780 and GM 920
+    t1[z == TUMOR_Z] = 870.0   # muscle-like
+    t1[z == CSF_Z] = 2500.0
+    t1[z == BONE_Z] = 525.0
+    return t1

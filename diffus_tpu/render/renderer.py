@@ -1,0 +1,237 @@
+"""The differentiable B-mode renderer: the framework's core forward pass.
+
+TPU-native equivalent of ``UltrasoundRenderer.plot_beam_frame``
+(reference ``src/renderer.py:201-275``) and its sub-stages
+(``simulate_rays`` :35, ``trace_ray`` :89, ``compute_echo_traces`` :439).
+Everything is a pure function of ``(volume, source, directions)`` plus a
+static :class:`~diffus_tpu.types.RenderConfig`, so the whole pipeline
+jits into one XLA program: coordinate generation -> gather -> reflection
+coefficients -> associative-scan propagation -> attenuation ->
+(optional) artifact stack.  vmap over poses gives multi-pose sweeps;
+sharding over a device mesh gives multi-chip throughput
+(see ``diffus_tpu.parallel``).
+
+Stage mapping (reference file:line -> here):
+  renderer.py:119-124  point generation        -> ops.sampling.ray_points
+  renderer.py:741-819  nearest sampler          -> ops.sampling.sample_nearest
+  renderer.py:27-33    reflection coefficients  -> ops.propagation.reflection_coeff
+  renderer.py:237-245  start-skip + median row  -> _apply_start (torch-median kept)
+  renderer.py:367-457  N+1 dense solves + cumsum/diff -> ops.propagation.echo_amplitudes (one scan)
+  renderer.py:256-259  exp depth attenuation    -> ops.propagation.depth_attenuation
+  renderer.py:264-273  artifact stack           -> ops.artifacts (jax.random keyed)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from diffus_tpu.types import RenderConfig
+from diffus_tpu.ops.propagation import (
+    reflection_coeff,
+    echo_amplitudes,
+    depth_attenuation,
+)
+from diffus_tpu.ops.sampling import ray_points, SAMPLERS
+
+_DEFAULT_CONFIG = RenderConfig()
+
+
+def trace_rays(
+    volume: jax.Array,
+    source: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    interp: str = "nearest",
+    step: float = 1.0,
+):
+    """March rays through the volume and sample it.
+
+    Equivalent of ``trace_ray`` (``src/renderer.py:89-180``) minus the
+    embedded matplotlib.  Returns ``(idx, values)``: integer sample coords
+    ``(n_rays, num_samples, 3)`` and sampled values
+    ``(n_rays, num_samples)``.
+    """
+    points = ray_points(source, directions, num_samples, step)
+    return SAMPLERS[interp](volume, points)
+
+
+def simulate_rays(
+    volume: jax.Array,
+    source: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    interp: str = "nearest",
+):
+    """Trace + adjacent-pair reflection coefficients.
+
+    Equivalent of ``simulate_rays`` (``src/renderer.py:35-71``).
+    Returns ``(idx, R)`` with ``R: (n_rays, num_samples - 1)``.
+    """
+    idx, z = trace_rays(volume, source, directions, num_samples, interp)
+    r = reflection_coeff(z[:, :-1], z[:, 1:])
+    return idx, r
+
+
+def mri_projection(
+    volume: jax.Array,
+    source: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    interp: str = "nearest",
+):
+    """Raw sampled intensities along the fan (the reference's ``MRI=True``
+    short-circuit, ``src/renderer.py:69-70``): returns
+    ``(n_rays, num_samples - 1)`` of the volume values themselves."""
+    _, z = trace_rays(volume, source, directions, num_samples, interp)
+    return z[:, :-1]
+
+
+def _torch_median(x: jax.Array) -> jax.Array:
+    """torch.median semantics: lower of the two middle elements for even
+    counts (jnp.median would average them — parity requires torch's).
+
+    Reference call site: ``R[:, 0].median()`` at ``src/renderer.py:243``.
+    """
+    n = x.shape[0]
+    return jnp.sort(x)[(n - 1) // 2]
+
+
+def _apply_start(r: jax.Array, start: int) -> jax.Array:
+    """Start-index skip with median patch of the new first column
+    (``src/renderer.py:241-245``)."""
+    if start <= 0:
+        return r
+    r = r[:, start:]
+    med = _torch_median(r[:, 0])
+    return r.at[:, 0].set(med)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "config"))
+def render_frame(
+    volume: jax.Array,
+    source: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    config: RenderConfig = _DEFAULT_CONFIG,
+    key: Optional[jax.Array] = None,
+):
+    """Render one fan frame of echo intensities.
+
+    The jitted equivalent of ``plot_beam_frame``
+    (``src/renderer.py:201-275``), returning the same quadruple:
+
+    Returns:
+      ``(x, y, z, intensities)`` — each ``(n_rays, num_samples - start)``;
+      ``x, y, z`` are the integer sample coordinates after the start skip
+      and ``intensities`` the attenuated (optionally artifacted) echo map.
+
+    Args:
+      volume: ``(D, H, W)`` acoustic impedance volume.
+      source: ``(3,)`` apex position in voxel coordinates.
+      directions: ``(n_rays, 3)`` unit ray directions.
+      num_samples: static depth-sample count.
+      config: static render configuration.
+      key: PRNG key, required when ``config.artifacts`` is set (the
+        reference used unseeded np.random; here noise is explicit and
+        reproducible).
+    """
+    idx, r = simulate_rays(volume, source, directions, num_samples, config.interp)
+    start = config.start_index(num_samples)
+    r = _apply_start(r, start)
+
+    echo = echo_amplitudes(r, mode=config.reflection_mode)
+    out = depth_attenuation(echo, config.attenuation_coeff)
+
+    if config.artifacts:
+        from diffus_tpu.ops.artifacts import (
+            add_speckle_arcs,
+            depth_dependent_lateral_blur,
+            sharpen,
+        )
+
+        if key is None:
+            raise ValueError("config.artifacts=True requires a PRNG key")
+        out = add_speckle_arcs(
+            out, key, std_radial=config.std_radial, std_local=config.std_local
+        )
+        out = depth_dependent_lateral_blur(out, max_sigma=config.max_sigma)
+        out = sharpen(out, alpha=config.sharpen_alpha)
+
+    x = idx[:, start:, 0]
+    y = idx[:, start:, 1]
+    z = idx[:, start:, 2]
+    return x, y, z, out
+
+
+@partial(jax.jit, static_argnames=("num_samples", "config", "image_shape", "sigma", "axes"))
+def render_bmode(
+    volume: jax.Array,
+    source: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    config: RenderConfig = _DEFAULT_CONFIG,
+    key: Optional[jax.Array] = None,
+    image_shape: tuple = (256, 256),
+    sigma: float = 2.0,
+    axes: tuple = (0, 2),
+):
+    """Full B-mode path: fan frame + differentiable splat to a 2D image.
+
+    The caller-side composition used throughout the reference notebooks
+    (``plot_beam_frame`` -> ``differentiable_splat``,
+    ``src/renderer.py:694-737``).  ``axes`` selects which two coordinate
+    axes span the image — static, unlike the reference's runtime
+    variance-based pick (``renderer.py:704-707``), which cannot live
+    under jit; use :func:`diffus_tpu.ops.splat.highest_variance_axes` to
+    precompute it.
+    """
+    from diffus_tpu.ops.splat import differentiable_splat
+
+    x, y, z, intensities = render_frame(
+        volume, source, directions, num_samples, config, key
+    )
+    coords = (x, y, z)
+    return differentiable_splat(
+        coords[axes[0]].astype(jnp.float32),
+        coords[axes[1]].astype(jnp.float32),
+        intensities,
+        height=image_shape[0],
+        width=image_shape[1],
+        sigma=sigma,
+    )
+
+
+def render_sweep(
+    volume: jax.Array,
+    sources: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    config: RenderConfig = _DEFAULT_CONFIG,
+    keys: Optional[jax.Array] = None,
+):
+    """Batched multi-pose sweep: vmap of :func:`render_frame` over poses.
+
+    The TPU-native version of the reference's per-pose Python loop
+    (``[DEPR] fix_propagation_full_transmission.ipynb`` cells 14-17, the
+    animation workload).
+
+    Args:
+      sources: ``(P, 3)``; directions: ``(P, n_rays, 3)`` or shared
+        ``(n_rays, 3)``; keys: optional ``(P, 2)`` PRNG keys.
+    Returns:
+      ``(x, y, z, frames)`` with a leading pose axis.
+    """
+    if directions.ndim == 2:
+        directions = jnp.broadcast_to(
+            directions[None], (sources.shape[0],) + directions.shape
+        )
+    fn = lambda s, d, k: render_frame(volume, s, d, num_samples, config, k)
+    if keys is None:
+        return jax.vmap(lambda s, d: render_frame(volume, s, d, num_samples, config))(
+            sources, directions
+        )
+    return jax.vmap(fn)(sources, directions, keys)

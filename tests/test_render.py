@@ -1,0 +1,128 @@
+"""End-to-end render parity vs the numpy dense oracle.
+
+The acceptance anchor: our jitted scan-based render must reproduce the
+reference ``plot_beam_frame`` pipeline per-pixel (f32 tolerance) on
+random volumes and the brain phantom, including start-skip handling.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffus_tpu.types import RenderConfig
+from diffus_tpu.render.renderer import render_frame, render_sweep, mri_projection
+from diffus_tpu.ops.reference_oracle import render_frame_dense
+from diffus_tpu.geometry.fan import fan_directions_2d
+from diffus_tpu.phantoms import brain_phantom_3d
+
+
+def _scene(rng, shape=(32, 32, 32), n_rays=8, jitter=True):
+    vol = rng.uniform(1.4e6, 1.7e6, size=shape).astype(np.float32)
+    if jitter:
+        # sprinkle some air/bone voxels for strong reflectors
+        m = rng.random(shape) < 0.02
+        vol[m] = 400.0
+    source = np.array([16.0, 2.0, 16.0], dtype=np.float32)
+    dirs = np.asarray(fan_directions_2d([0.0, 1.0], np.radians(40), n_rays))
+    return vol, source, dirs
+
+
+@pytest.mark.parametrize("start", [0, 5, 0.25])
+def test_render_parity_vs_oracle(rng, start):
+    vol, source, dirs = _scene(rng)
+    num_samples = 24
+    cfg = RenderConfig(attenuation_coeff=0.1, start=start)
+    x, y, z, out = render_frame(
+        jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), num_samples, cfg
+    )
+    xo, yo, zo, wo = render_frame_dense(
+        vol, source, dirs, num_samples, attenuation_coeff=0.1, start=start
+    )
+    np.testing.assert_array_equal(np.asarray(x), xo)
+    np.testing.assert_array_equal(np.asarray(y), yo)
+    np.testing.assert_array_equal(np.asarray(z), zo)
+    np.testing.assert_allclose(np.asarray(out), wo, rtol=2e-3, atol=2e-4)
+
+
+def test_render_parity_phantom(rng):
+    vol = brain_phantom_3d((48, 48, 48))
+    source = np.array([24.0, 1.0, 24.0], dtype=np.float32)
+    dirs = np.asarray(fan_directions_2d([0.0, 1.0], np.radians(50), 16))
+    cfg = RenderConfig(attenuation_coeff=1e-4)
+    x, y, z, out = render_frame(
+        jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 40, cfg
+    )
+    _, _, _, wo = render_frame_dense(vol, source, dirs, 40, 1e-4, 0)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), wo, rtol=5e-3, atol=5e-4)
+
+
+def test_render_shapes_with_start(rng):
+    vol, source, dirs = _scene(rng, n_rays=6)
+    cfg = RenderConfig(start=0.4)
+    x, y, z, out = render_frame(
+        jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 30, cfg
+    )
+    start = int(0.4 * 30)
+    assert out.shape == (6, 30 - start)
+    assert x.shape == (6, 30 - start)
+
+
+def test_mri_projection_returns_raw_values(rng):
+    vol, source, dirs = _scene(rng, jitter=False)
+    proj = mri_projection(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20)
+    assert proj.shape == (dirs.shape[0], 19)
+    # values must be actual volume samples
+    assert float(jnp.min(proj)) >= vol.min() - 1e-3
+    assert float(jnp.max(proj)) <= vol.max() + 1e-3
+
+
+def test_render_sweep_matches_individual(rng):
+    vol, source, dirs = _scene(rng, n_rays=4)
+    sources = np.stack([source, source + np.array([0.0, 1.0, 0.0])]).astype(np.float32)
+    cfg = RenderConfig(attenuation_coeff=0.1)
+    xs, ys, zs, frames = render_sweep(
+        jnp.asarray(vol), jnp.asarray(sources), jnp.asarray(dirs), 16, cfg
+    )
+    assert frames.shape[0] == 2
+    for i in range(2):
+        _, _, _, fi = render_frame(
+            jnp.asarray(vol), jnp.asarray(sources[i]), jnp.asarray(dirs), 16, cfg
+        )
+        np.testing.assert_allclose(np.asarray(frames[i]), np.asarray(fi), rtol=1e-5)
+
+
+def test_render_artifacts_path_runs(rng):
+    vol, source, dirs = _scene(rng, n_rays=4)
+    cfg = RenderConfig(attenuation_coeff=0.1, artifacts=True)
+    key = jax.random.PRNGKey(0)
+    _, _, _, out = render_frame(
+        jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 16, cfg, key=key
+    )
+    assert out.shape == (4, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # deterministic under the same key
+    _, _, _, out2 = render_frame(
+        jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 16, cfg, key=key
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_trilinear_mode_close_to_nearest_on_smooth_volume(rng):
+    # On a smooth volume the two interpolation modes should agree closely
+    zz = np.linspace(1.4e6, 1.7e6, 32, dtype=np.float32)
+    vol = np.broadcast_to(zz[None, None, :], (32, 32, 32)).copy()
+    source = np.array([16.0, 2.0, 4.0], dtype=np.float32)
+    dirs = np.asarray(fan_directions_2d([0.0, 1.0], np.radians(20), 4))
+    out_n = render_frame(
+        jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 16,
+        RenderConfig(interp="nearest"),
+    )[3]
+    out_t = render_frame(
+        jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 16,
+        RenderConfig(interp="trilinear"),
+    )[3]
+    np.testing.assert_allclose(
+        np.asarray(out_n), np.asarray(out_t), atol=2e-3
+    )
