@@ -1,0 +1,12 @@
+from diffus_tpu.parallel.mesh import (
+    make_mesh,
+    default_mesh,
+    pose_sharding,
+    pose_ray_sharding,
+    replicated,
+)
+from diffus_tpu.parallel.shard import (
+    sharded_render_sweep,
+    make_sharded_train_step,
+    shard_batch,
+)

@@ -1,0 +1,122 @@
+"""Impedance layer: tables, MLP training, masked application, CT models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import binary_dilation as sp_dilate, binary_erosion as sp_erode
+
+from diffus_tpu.impedance import (
+    TISSUE_TABLE,
+    table_arrays,
+    default_table_points,
+    tabular_impedance_volume,
+    fit_table_mlp,
+    impedance_volume_masked,
+    impedance_volume_normalized,
+    brain_mask,
+    zscore_normalize,
+    schneider_webb_impedance,
+    crude_ct_impedance,
+    density_from_hu,
+)
+from diffus_tpu.ops.morphology import binary_dilation, binary_erosion
+from diffus_tpu.phantoms import t1_phantom_3d
+
+
+def test_table_values_match_reference():
+    # exact tissue table from [DEMO] REUBEN DATA 46.ipynb cell 1
+    d = {row[0]: (row[1], row[2]) for row in TISSUE_TABLE}
+    assert d["Fat"] == (260.0, 1.34)
+    assert d["CSF"] == (2500.0, 1.50)
+    assert d["Air"] == (0.0, 0.0004)
+    assert d["Bone (PW)"] == (525.0, 1.50)
+    x, y, (lo, hi) = table_arrays()
+    assert lo == 0.0 and hi == 2500.0
+    assert x.shape == (8, 1) and float(x.max()) == 1.0
+
+
+def test_piecewise_tabular_volume():
+    tx, ty = default_table_points()
+    vol = jnp.array([[[0.0, 2500.0, 260.0]]])
+    z = np.asarray(tabular_impedance_volume(vol, tx, ty))
+    np.testing.assert_allclose(z[0, 0], [0.0004e6, 1.50e6, 1.34e6], rtol=1e-5)
+    # clamped beyond table range
+    z2 = float(tabular_impedance_volume(jnp.array([[[9999.0]]]), tx, ty)[0, 0, 0])
+    np.testing.assert_allclose(z2, 1.50e6, rtol=1e-5)
+
+
+def test_mlp_fits_table():
+    x, y, _ = table_arrays()
+    params, losses = fit_table_mlp(
+        jax.random.PRNGKey(0), x, y, hidden=(64, 64), epochs=1500, lr=0.01
+    )
+    assert float(losses[-1]) < float(losses[0])
+    assert float(losses[-1]) < 0.01  # MRayl^2 MSE after fit
+
+
+def test_morphology_matches_scipy(rng):
+    m = rng.random((10, 12, 9)) > 0.6
+    got_d = np.asarray(binary_dilation(jnp.asarray(m), iterations=2))
+    want_d = sp_dilate(m, iterations=2)
+    np.testing.assert_array_equal(got_d, want_d)
+    got_e = np.asarray(binary_erosion(jnp.asarray(m), iterations=2))
+    want_e = sp_erode(m, iterations=2)
+    np.testing.assert_array_equal(got_e, want_e)
+
+
+def test_brain_mask_and_zscore(rng):
+    vol = jnp.asarray(rng.uniform(0, 1000, (16, 16, 16)).astype(np.float32))
+    mask = brain_mask(vol, threshold=500.0)
+    norm = zscore_normalize(vol, mask)
+    v = np.asarray(vol)[np.asarray(mask)]
+    n = np.asarray(norm)[np.asarray(mask)]
+    np.testing.assert_allclose(n.mean(), 0.0, atol=1e-3)
+    np.testing.assert_allclose(n.std(ddof=1), 1.0, atol=1e-3)
+
+
+def test_impedance_volume_masked_background():
+    vol = jnp.asarray(t1_phantom_3d((24, 24, 24)))
+    x, y, _ = table_arrays()
+    params, _ = fit_table_mlp(jax.random.PRNGKey(1), x, y, epochs=200)
+    z = impedance_volume_masked(params, vol)
+    z_np = np.asarray(z)
+    outside = np.asarray(vol) <= 50.0
+    # reference fills non-mask with air Z=400 (impedance.py:52); the mask is
+    # dilate+erode of the threshold so compare on the far-outside region
+    assert np.all(z_np[0, 0, 0] == 400.0)
+    assert z_np.shape == vol.shape
+
+
+def test_impedance_volume_normalized_range():
+    vol = jnp.asarray(t1_phantom_3d((16, 16, 16)))
+    x, y, (lo, hi) = table_arrays()
+    params, _ = fit_table_mlp(jax.random.PRNGKey(2), x, y, epochs=200)
+    z = impedance_volume_normalized(params, vol, lo, hi)
+    assert z.shape == vol.shape
+    assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_ct_models():
+    # crude closed form: Z(0 HU) = 1000 * 1540 = 1.54e6 (water-ish)
+    np.testing.assert_allclose(
+        float(crude_ct_impedance(jnp.array(0.0))), 1.54e6, rtol=1e-6
+    )
+    # formula check at HU=100: c = 1575, Z = 1000*1575 + 100*1575
+    np.testing.assert_allclose(
+        float(crude_ct_impedance(jnp.array(100.0))), 1575.0 * 1100.0, rtol=1e-6
+    )
+    # Schneider density: interp endpoints clamp
+    np.testing.assert_allclose(float(density_from_hu(jnp.array(0.0))), 260.0, rtol=1e-5)
+    z = schneider_webb_impedance(jnp.array(40.0))  # ~ soft tissue at HU 40
+    assert 1.0e6 < float(z) < 3.0e6
+
+
+def test_schneider_webb_against_numpy_oracle(rng):
+    from diffus_tpu.impedance.ct import SCHNEIDER_HU, SCHNEIDER_RHO, WEBB_A, WEBB_B
+
+    hu = rng.uniform(-1000, 2000, size=50).astype(np.float32)
+    got = np.asarray(schneider_webb_impedance(jnp.asarray(hu)))
+    order = np.argsort(SCHNEIDER_HU)
+    rho = np.interp(hu + 1000.0, SCHNEIDER_HU[order], SCHNEIDER_RHO[order])
+    want = rho * (WEBB_A * (hu + 1000.0) + WEBB_B)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
