@@ -26,6 +26,8 @@ N_RAYS = 256
 NUM_SAMPLES = 512
 VOLUME_DIM = 256
 POSE_BATCH = 32
+N_INPUT_SETS = 16  # vary inputs per call: identical-input dispatches can be
+                   # cached by the execution relay and report bogus throughput
 REFERENCE_FPS = 0.28
 TARGET_FPS = 1000.0
 
@@ -40,23 +42,30 @@ def main():
     from diffus_tpu.phantoms import brain_phantom_3d
     from diffus_tpu.ops.reference_oracle import render_frame_dense
 
-    config = RenderConfig(attenuation_coeff=1e-4)
+    config = RenderConfig(attenuation_coeff=1e-4, use_pallas=True)
     volume_np = brain_phantom_3d((VOLUME_DIM, VOLUME_DIM, VOLUME_DIM))
     volume = jnp.asarray(volume_np)
     directions = fan_directions_2d([0.0, 1.0], np.radians(45.0), N_RAYS)
     source = jnp.asarray(np.array([128.0, 4.0, 128.0], np.float32))
 
     rng = np.random.default_rng(0)
-    sources = jnp.asarray(
-        np.array([128.0, 4.0, 128.0], np.float32)[None, :]
-        + rng.uniform(-8, 8, (POSE_BATCH, 3)).astype(np.float32)
-    )
+    source_sets = [
+        jnp.asarray(
+            np.array([128.0, 4.0, 128.0], np.float32)[None, :]
+            + rng.uniform(-8, 8, (POSE_BATCH, 3)).astype(np.float32)
+        )
+        for _ in range(N_INPUT_SETS)
+    ]
+    sources = source_sets[0]
 
     # --- correctness guard: small-scene parity vs the dense oracle ---
     small = jnp.asarray(volume_np[::8, ::8, ::8].copy())
     s_src = jnp.asarray(np.array([16.0, 1.0, 16.0], np.float32))
     s_dirs = fan_directions_2d([0.0, 1.0], np.radians(45.0), 8)
-    _, _, _, got = render_frame(small, s_src, s_dirs, 24, config)
+    # use the non-pallas config here: saves one slow Mosaic remote-compile;
+    # pallas-vs-scan equivalence is pinned by tests/test_pallas_kernel.py
+    guard_config = RenderConfig(attenuation_coeff=1e-4)
+    _, _, _, got = render_frame(small, s_src, s_dirs, 24, guard_config)
     _, _, _, want = render_frame_dense(
         np.asarray(small), np.asarray(s_src), np.asarray(s_dirs), 24, 1e-4, 0
     )
@@ -65,13 +74,16 @@ def main():
     )
     assert parity_err < 1e-3, f"parity check failed: {parity_err}"
 
-    # --- single-frame latency ---
-    _, _, _, f = render_frame(volume, source, directions, NUM_SAMPLES, config)
+    # --- single-frame latency (varying inputs) ---
+    singles = [s[0] for s in source_sets]
+    _, _, _, f = render_frame(volume, singles[0], directions, NUM_SAMPLES, config)
     f.block_until_ready()
     t0 = time.perf_counter()
     n_single = 20
-    for _ in range(n_single):
-        _, _, _, f = render_frame(volume, source, directions, NUM_SAMPLES, config)
+    for i in range(n_single):
+        _, _, _, f = render_frame(
+            volume, singles[i % N_INPUT_SETS], directions, NUM_SAMPLES, config
+        )
     f.block_until_ready()
     single_ms = (time.perf_counter() - t0) / n_single * 1e3
 
@@ -81,10 +93,10 @@ def main():
     )
     frames = sweep(volume, sources, directions)
     frames.block_until_ready()
-    iters = max(4, int(2000 / POSE_BATCH))
+    iters = max(8, int(2000 / POSE_BATCH))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        frames = sweep(volume, sources, directions)
+    for i in range(iters):
+        frames = sweep(volume, source_sets[(i + 1) % N_INPUT_SETS], directions)
     frames.block_until_ready()
     dt = time.perf_counter() - t0
     fps = POSE_BATCH * iters / dt

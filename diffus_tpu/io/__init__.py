@@ -1,0 +1,9 @@
+from diffus_tpu.io.nifti import load_nifti, load_volume, save_nifti
+from diffus_tpu.io.datasets import (
+    MedicalVolumeDataset,
+    MRIDataset,
+    iUSDataset,
+    RemindCase,
+    find_remind_cases,
+    CASE_PRESETS,
+)

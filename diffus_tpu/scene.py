@@ -1,0 +1,101 @@
+"""Scene setup: the per-case calibration workflow as one API.
+
+Packages the multi-step notebook workflow the reference repeats for every
+ReMIND case (``[DEMO] REUBEN DATA {46,50,55,63}.ipynb``, SURVEY section
+3.5): hand-fit fan edge lines on a US slice -> apex / opening angle /
+bisector (``cone.py:98-126``) -> transform into MRI voxel space
+(``cone.py:187-209``) -> fan directions (``cone.py:242-258``) -> a
+render-ready scene (source, directions, geometry, masks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffus_tpu.types import BeamGeometry, RenderConfig
+from diffus_tpu.geometry.calibration import (
+    ConeCalibration,
+    apex_and_direction_from_edges,
+    cone_us_to_mri,
+    cone_mask,
+    cone_segment_mask,
+)
+from diffus_tpu.geometry.fan import fan_directions_2d
+
+
+@dataclasses.dataclass
+class Scene:
+    """A render-ready scene: everything ``render_frame`` needs plus the
+    calibration byproducts (cone masks for loss masking)."""
+
+    source: jax.Array          # (3,) apex in volume voxel coordinates
+    directions: jax.Array      # (n_rays, 3)
+    geometry: BeamGeometry
+    calibration: ConeCalibration
+    us_mask: jax.Array | None = None   # fan mask on the US slice
+    d1: float = 0.0
+    d2: float = 0.0
+
+    def render(self, volume, config: RenderConfig = RenderConfig(), key=None):
+        from diffus_tpu.render.renderer import render_frame
+
+        return render_frame(
+            volume, self.source, self.directions,
+            self.geometry.num_samples, config, key,
+        )
+
+
+def build_scene_from_edges(
+    m_left: float,
+    b_left: float,
+    m_right: float,
+    b_right: float,
+    us_affine,
+    t1_affine,
+    slice_idx: int,
+    n_rays: int = 256,
+    d1: float = 0.0,
+    d2: float = 256.0,
+    us_slice_shape: tuple | None = None,
+    fan_plane: str = "xy",
+) -> Scene:
+    """Calibrate a transducer scene from two fan edge lines.
+
+    Mirrors the notebook sequence: apex/angle/bisector from the lines,
+    apex lifted to 3D with the US slice index, transformed into MRI voxel
+    space, fan generated around the transformed bisector; ``num_samples``
+    is the depth window length ``d2`` like the notebooks'
+    ``UltrasoundRenderer(num_samples=d2)`` and ``start = d1/d2``.
+    """
+    cal = apex_and_direction_from_edges(m_left, b_left, m_right, b_right)
+    apex_us = jnp.asarray(
+        [cal.apex[0], cal.apex[1], float(slice_idx)], dtype=jnp.float32
+    )
+    apex_mri, dir_mri = cone_us_to_mri(
+        apex_us, jnp.asarray(cal.direction, jnp.float32), us_affine, t1_affine
+    )
+    directions = fan_directions_2d(dir_mri, cal.opening_angle, n_rays, plane=fan_plane)
+
+    us_mask = None
+    if us_slice_shape is not None:
+        mask = cone_mask(us_slice_shape, cal.apex, cal.direction, cal.opening_angle)
+        us_mask = cone_segment_mask(mask, cal.apex, cal.direction, d1, d2)
+
+    geometry = BeamGeometry(
+        n_rays=n_rays,
+        num_samples=max(int(d2), 2),
+        opening_angle=float(cal.opening_angle),
+    )
+    return Scene(
+        source=apex_mri,
+        directions=directions,
+        geometry=geometry,
+        calibration=cal,
+        us_mask=us_mask,
+        d1=float(d1),
+        d2=float(d2),
+    )

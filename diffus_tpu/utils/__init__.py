@@ -1,0 +1,1 @@
+from diffus_tpu.utils.profiling import stage_timer, profile_trace, block_and_time

@@ -1,0 +1,11 @@
+from diffus_tpu.viz.plots import (
+    plot_frame,
+    sector_points,
+    plot_sector,
+    plot_sector_bmode,
+    plot_histogram,
+    plot_edge_lines,
+    plot_cone_overlay,
+    plot_median_line,
+)
+from diffus_tpu.viz.video import render_video, render_video_frame, save_gif

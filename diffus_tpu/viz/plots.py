@@ -1,0 +1,148 @@
+"""Host-side visualization (matplotlib) — strictly outside the compute path.
+
+Rebuild of the reference's plotting surface with the compute/display
+split the reference lacks (it ran matplotlib inside its hot sampler,
+``src/renderer.py:762-801`` — deliberately not ported):
+``plot_frame``/``plot_sector``/``plot_sector_bmode``
+(``src/renderer.py:277-362``), the calibration overlays
+(``src/cone.py:128-240``), and the histogram helper (``src/utils.py:43``).
+All loops are vectorized; inputs are any array-likes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_frame(frame, ax=None, title="Input Volume Slice"):
+    """Display a (rays, depth) intensity map, depth downwards
+    (``src/renderer.py:277-293``)."""
+    plt = _plt()
+    if ax is None:
+        plt.figure(figsize=(6, 6))
+        ax = plt.gca()
+    img = np.asarray(frame).T
+    ax.imshow(img, cmap="gray", aspect="auto", vmin=img.min(), vmax=img.max())
+    ax.set_xlabel("Ray index")
+    ax.set_ylabel("Depth sample")
+    ax.set_title(title)
+    return ax
+
+
+def sector_points(frame, angles, spacing: float = 1.0):
+    """Vectorized (x, z, value) scatter triplets for sector display —
+    replaces the reference's double Python loop
+    (``src/renderer.py:308-315``)."""
+    frame = np.asarray(frame)
+    angles = np.asarray(angles)
+    depths = np.arange(frame.shape[1]) * spacing
+    xs = np.sin(angles)[:, None] * depths[None, :]
+    zs = np.cos(angles)[:, None] * depths[None, :]
+    return xs.ravel(), zs.ravel(), frame.ravel()
+
+
+def plot_sector(frame, angles, spacing: float = 1.0, ax=None,
+                title="Sector-shaped US image", invert=True):
+    """True sector-geometry scatter (``src/renderer.py:295-327``)."""
+    plt = _plt()
+    xs, zs, vals = sector_points(frame, angles, spacing)
+    if ax is None:
+        plt.figure(figsize=(6, 6))
+        ax = plt.gca()
+    sc = ax.scatter(xs, zs, c=vals, s=1, cmap="gray",
+                    vmin=vals.min(), vmax=vals.max())
+    ax.set_aspect("equal")
+    if invert:
+        ax.invert_yaxis()
+    ax.set_xlabel("x (lateral)")
+    ax.set_ylabel("z (depth)")
+    ax.set_title(title)
+    plt.colorbar(sc, ax=ax, label="Echo intensity")
+    return ax
+
+
+def plot_sector_bmode(bmode, angles, spacing: float = 1.0, ax=None):
+    """B-mode sector display (``src/renderer.py:329-362``)."""
+    return plot_sector(
+        bmode, angles, spacing, ax=ax,
+        title="Sector-shaped B-mode Ultrasound Image", invert=False,
+    )
+
+
+def plot_histogram(volume, bins: int = 50, ax=None):
+    """Intensity histogram (``src/utils.py:43-53``)."""
+    plt = _plt()
+    if ax is None:
+        plt.figure(figsize=(12, 6))
+        ax = plt.gca()
+    ax.hist(np.asarray(volume).ravel(), bins=bins, color="blue", alpha=0.7)
+    ax.set_title("Volume Intensity Distribution")
+    ax.set_xlabel("Intensity")
+    ax.set_ylabel("Frequency")
+    return ax
+
+
+def plot_edge_lines(us_slice, m_left, b_left, m_right, b_right, ax=None):
+    """US slice with the two hand-fit fan edge lines
+    (``src/cone.py:128-143``)."""
+    plt = _plt()
+    us_slice = np.asarray(us_slice)
+    if ax is None:
+        plt.figure(figsize=(6, 6))
+        ax = plt.gca()
+    ax.imshow(us_slice, cmap="gray", origin="lower")
+    ax.imshow(us_slice == 0, cmap="gray", origin="lower", alpha=0.2)
+    x_vals = np.array([0, us_slice.shape[1] - 1])
+    ax.plot(x_vals, m_left * x_vals + b_left, "c--", linewidth=2)
+    ax.plot(x_vals, m_right * x_vals + b_right, "m--", linewidth=2)
+    ax.set_title("US slice with affine lines to adjust")
+    return ax
+
+
+def plot_cone_overlay(us_slice, mask_cone, ax=None,
+                      title="US slice with cone overlay"):
+    """Red translucent cone-mask overlay (``src/cone.py:174-185``)."""
+    plt = _plt()
+    us_slice = np.asarray(us_slice)
+    mask = np.asarray(mask_cone)
+    overlay = np.zeros(us_slice.shape + (4,))
+    overlay[..., 0] = 1.0
+    overlay[..., 3] = mask * 0.3
+    if ax is None:
+        plt.figure(figsize=(6, 6))
+        ax = plt.gca()
+    ax.imshow(us_slice, cmap="gray", origin="lower")
+    ax.imshow(overlay, origin="lower")
+    ax.set_title(title)
+    return ax
+
+
+def plot_median_line(us_slice, apex, direction, d1, d2, ax=None):
+    """Median-line segment between depths d1..d2 (``src/cone.py:211-240``)."""
+    plt = _plt()
+    if ax is None:
+        plt.figure(figsize=(8, 6))
+        ax = plt.gca()
+    x0, y0 = apex
+    dx, dy = direction
+    p1 = (x0 + d1 * dx, y0 + d1 * dy)
+    p2 = (x0 + d2 * dx, y0 + d2 * dy)
+    ax.imshow(np.asarray(us_slice), cmap="gray", origin="lower")
+    ax.axline((x0, y0), slope=(dy / dx if dx != 0 else 1e10),
+              color="cyan", linestyle="--", alpha=0.5)
+    ax.plot([p1[0], p2[0]], [p1[1], p2[1]], "r-", linewidth=3,
+            label=f"d1={d1}, d2={d2}")
+    ax.scatter(*p1, s=80, c="lime", marker="o", label="Start")
+    ax.scatter(*p2, s=80, c="red", marker="o", label="End")
+    ax.set_title("Ultrasound Median Line")
+    ax.legend()
+    return ax

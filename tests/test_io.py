@@ -1,0 +1,96 @@
+"""Native NIfTI reader/writer and dataset containers."""
+
+import gzip
+import os
+
+import numpy as np
+
+from diffus_tpu.io import (
+    load_nifti,
+    save_nifti,
+    load_volume,
+    MedicalVolumeDataset,
+    MRIDataset,
+    find_remind_cases,
+)
+
+
+def test_nifti_roundtrip(tmp_path, rng):
+    data = rng.normal(size=(7, 9, 5)).astype(np.float32)
+    affine = np.array(
+        [[0.5, 0, 0, -10], [0, 0.5, 0, -20], [0, 0, 0.5, -30], [0, 0, 0, 1]],
+        dtype=np.float32,
+    )
+    path = os.path.join(str(tmp_path), "vol.nii")
+    save_nifti(path, data, affine)
+    got, got_affine, spacing = load_nifti(path)
+    np.testing.assert_allclose(got, data, rtol=1e-6)
+    np.testing.assert_allclose(got_affine, affine, rtol=1e-5)
+    np.testing.assert_allclose(spacing, [0.5, 0.5, 0.5], rtol=1e-5)
+
+
+def test_nifti_gzip_and_dtypes(tmp_path, rng):
+    data = rng.integers(0, 1000, size=(6, 6, 6)).astype(np.int16)
+    path = os.path.join(str(tmp_path), "vol.nii.gz")
+    save_nifti(path, data)
+    with open(path, "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"  # actually gzipped
+    got, affine, _ = load_nifti(path)
+    np.testing.assert_allclose(got, data.astype(np.float32))
+    np.testing.assert_allclose(affine, np.eye(4), atol=1e-6)
+
+
+def test_nifti_rejects_garbage(tmp_path):
+    path = os.path.join(str(tmp_path), "bad.nii")
+    with open(path, "wb") as fh:
+        fh.write(b"\x00" * 400)
+    try:
+        load_nifti(path)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "NIfTI" in str(e)
+
+
+def test_load_volume_pytree(tmp_path, rng):
+    data = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    path = os.path.join(str(tmp_path), "v.nii")
+    save_nifti(path, data)
+    vol = load_volume(path)
+    assert vol.shape == (4, 4, 4)
+    np.testing.assert_allclose(np.asarray(vol.data), data, rtol=1e-6)
+
+
+def test_medical_volume_dataset_slicing(tmp_path, rng):
+    data = rng.uniform(0, 100, size=(8, 10, 12)).astype(np.float32)
+    path = os.path.join(str(tmp_path), "v.nii")
+    save_nifti(path, data)
+    ds = MedicalVolumeDataset(path, "t1", axis=0)
+    assert len(ds) == 12  # axis 0 slices along [:, :, i] like the reference
+    s = ds[3]
+    assert s.shape == (1, 8, 10)
+    assert 0.0 <= s.min() and s.max() <= 1.0  # min-max normalized
+
+
+def test_mri_dataset_items(tmp_path, rng):
+    paths = []
+    for i in range(2):
+        p = os.path.join(str(tmp_path), f"v{i}.nii")
+        save_nifti(p, rng.normal(size=(5, 5, 5)).astype(np.float32))
+        paths.append(p)
+    ds = MRIDataset(paths)
+    assert len(ds) == 2
+    item = ds[1]
+    assert set(item) == {"image", "affine", "spacing", "path"}
+    assert item["image"].shape == (1, 5, 5, 5)
+
+
+def test_find_remind_cases(tmp_path, rng):
+    for name in ("ReMIND2Reg_0046_0000.nii.gz", "ReMIND2Reg_0046_0001.nii.gz",
+                 "ReMIND2Reg_0050_0001.nii.gz", "unrelated.nii.gz"):
+        save_nifti(os.path.join(str(tmp_path), name),
+                   rng.normal(size=(3, 3, 3)).astype(np.float32))
+    cases = find_remind_cases(str(tmp_path))
+    assert set(cases) == {46, 50}
+    assert cases[46].ius_path and cases[46].cet1_path and cases[46].t2_path is None
+    vol = cases[46].load("cet1")
+    assert vol.shape == (3, 3, 3)

@@ -1,0 +1,84 @@
+"""Pallas propagation kernel vs the XLA scan path (CPU interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffus_tpu.kernels.propagation_pallas import echo_pallas
+from diffus_tpu.ops.propagation import echo_amplitudes, depth_attenuation
+from diffus_tpu.ops.sampling import sample_nearest, sample_nearest_rows
+
+
+@pytest.mark.parametrize("mode", ["parity", "symmetric"])
+@pytest.mark.parametrize("shape", [(5, 33), (2, 7, 20), (1, 511)])
+def test_echo_pallas_matches_scan(mode, shape, rng):
+    r = jnp.asarray(rng.uniform(-0.8, 0.8, shape).astype(np.float32))
+    got = np.asarray(echo_pallas(r, mode, 0.1))
+    want = np.asarray(depth_attenuation(echo_amplitudes(r, mode=mode), 0.1))
+    # symmetric mode: kernel computes k=1 exactly where the scan computes
+    # (1 - r^2) + r^2 in f32 — same math, different rounding path
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_echo_pallas_nan_semantics():
+    r = jnp.asarray(np.array([[0.2, np.nan, 0.1]], np.float32))
+    got = np.asarray(echo_pallas(r, "parity", 0.0))
+    want = np.asarray(echo_amplitudes(r))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_echo_pallas_gradients_match(rng):
+    r = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 17)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(echo_pallas(x, "parity", 0.1) ** 2))(r)
+    g2 = jax.grad(
+        lambda x: jnp.sum(depth_attenuation(echo_amplitudes(x), 0.1) ** 2)
+    )(r)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-6)
+
+
+def test_rows_sampler_bit_identical(rng):
+    # lane-aligned row gather must agree exactly with the plain sampler,
+    # including clamped out-of-volume points and non-128-multiple volumes
+    vol = jnp.asarray(rng.normal(size=(7, 9, 11)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-3, 13, (4, 25, 3)).astype(np.float32))
+    idx_a, val_a = sample_nearest(vol, pts)
+    idx_b, val_b = sample_nearest_rows(vol, pts)
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(val_a), np.asarray(val_b))
+
+
+def test_render_frame_pallas_config_matches(rng):
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.render.renderer import render_frame
+    from diffus_tpu.geometry.fan import fan_directions_2d
+
+    vol = jnp.asarray(rng.uniform(1.4e6, 1.7e6, (24, 24, 24)).astype(np.float32))
+    src = jnp.array([12.0, 1.0, 12.0])
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40), 6)
+    out_a = render_frame(vol, src, dirs, 16, RenderConfig(attenuation_coeff=0.1))[3]
+    out_b = render_frame(
+        vol, src, dirs, 16, RenderConfig(attenuation_coeff=0.1, use_pallas=True)
+    )[3]
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-7)
+
+
+def test_render_frame_pallas_with_start(rng):
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.render.renderer import render_frame
+    from diffus_tpu.geometry.fan import fan_directions_2d
+
+    vol = jnp.asarray(rng.uniform(1.4e6, 1.7e6, (24, 24, 24)).astype(np.float32))
+    src = jnp.array([12.0, 1.0, 12.0])
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40), 6)
+    for start in (4, 0.25):
+        out_a = render_frame(
+            vol, src, dirs, 20, RenderConfig(attenuation_coeff=0.1, start=start)
+        )[3]
+        out_b = render_frame(
+            vol, src, dirs, 20,
+            RenderConfig(attenuation_coeff=0.1, start=start, use_pallas=True),
+        )[3]
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-7
+        )

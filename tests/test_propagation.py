@@ -128,7 +128,7 @@ def test_batch_shapes_and_vmap(rng):
     assert out.shape == (5, 7, 32)
     per_ray = jax.vmap(lambda x: echo_amplitudes(x))(r.reshape(35, 31))
     np.testing.assert_allclose(
-        np.asarray(out).reshape(35, 32), np.asarray(per_ray), rtol=1e-6
+        np.asarray(out).reshape(35, 32), np.asarray(per_ray), rtol=1e-5, atol=1e-7
     )
 
 

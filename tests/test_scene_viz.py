@@ -1,0 +1,92 @@
+"""Scene-setup API and host-side visualization smoke tests."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffus_tpu.scene import build_scene_from_edges
+from diffus_tpu.types import RenderConfig
+from diffus_tpu.ops.propagation import propagate_boundary
+from diffus_tpu.render.renderer import trace_multi_source
+from diffus_tpu.viz import (
+    plot_frame,
+    sector_points,
+    plot_sector,
+    plot_histogram,
+    plot_edge_lines,
+    plot_cone_overlay,
+    plot_median_line,
+    render_video,
+    render_video_frame,
+)
+from diffus_tpu.phantoms import brain_phantom_3d
+from diffus_tpu.geometry.fan import fan_directions_2d
+
+
+def test_build_scene_from_edges_identity_affines():
+    scene = build_scene_from_edges(
+        m_left=1.0, b_left=10.0, m_right=-1.0, b_right=110.0,
+        us_affine=np.eye(4), t1_affine=np.eye(4),
+        slice_idx=5, n_rays=16, d1=10, d2=40, us_slice_shape=(64, 64),
+    )
+    assert scene.directions.shape == (16, 3)
+    np.testing.assert_allclose(np.asarray(scene.source), [50.0, 60.0, 5.0], atol=1e-4)
+    np.testing.assert_allclose(scene.geometry.opening_angle, np.pi / 2, rtol=1e-5)
+    assert scene.geometry.num_samples == 40
+    assert scene.us_mask is not None and scene.us_mask.shape == (64, 64)
+    # the scene renders end-to-end
+    vol = jnp.asarray(brain_phantom_3d((64, 64, 64)))
+    x, y, z, frame = scene.render(vol, RenderConfig(attenuation_coeff=1e-4))
+    assert frame.shape == (16, 40)
+    assert np.all(np.isfinite(np.asarray(frame)))
+
+
+def test_propagate_boundary_example():
+    # r = 1/3 between Z=1 and Z=2 (forward_physics worked example)
+    g_r, d_l = propagate_boundary(jnp.array(1.0), jnp.array(0.0), jnp.array(1.0 / 3.0))
+    np.testing.assert_allclose(float(g_r), 4.0 / 3.0, rtol=1e-6)
+    np.testing.assert_allclose(float(d_l), 1.0 / 3.0, rtol=1e-6)
+    _, d_l_sym = propagate_boundary(
+        jnp.array(1.0), jnp.array(0.0), jnp.array(1.0 / 3.0), mode="symmetric"
+    )
+    np.testing.assert_allclose(float(d_l_sym), -1.0 / 3.0, rtol=1e-6)
+
+
+def test_trace_multi_source(rng):
+    vol = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32))
+    sources = jnp.asarray(rng.uniform(2, 14, (3, 3)).astype(np.float32))
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(30), 4)
+    idx, vals = trace_multi_source(vol, sources, dirs, 8)
+    assert idx.shape == (3, 4, 8, 3)
+    assert vals.shape == (3, 4, 8)
+
+
+def test_viz_smoke(rng):
+    frame = rng.uniform(0, 1, (8, 16)).astype(np.float32)
+    angles = np.linspace(-0.4, 0.4, 8)
+    plot_frame(frame)
+    xs, zs, vals = sector_points(frame, angles, spacing=0.5)
+    assert xs.shape == (8 * 16,)
+    # vectorized sector geometry: depth 0 at origin, median ray on +z
+    np.testing.assert_allclose(zs[:16], np.cos(angles[0]) * np.arange(16) * 0.5)
+    plot_sector(frame, angles)
+    plot_histogram(rng.normal(size=(4, 4, 4)))
+    us = rng.uniform(0, 1, (32, 32))
+    plot_edge_lines(us, 1.0, 2.0, -1.0, 30.0)
+    plot_cone_overlay(us, us > 0.5)
+    plot_median_line(us, (16, 0), (0, 1), 5, 20)
+
+
+def test_video_smoke(rng):
+    triplets = [
+        (rng.uniform(0, 1, 20), rng.uniform(0, 1, 20), rng.uniform(0, 1, 20))
+        for _ in range(3)
+    ]
+    anim = render_video(triplets)
+    assert anim is not None
+    frames = [rng.uniform(0, 1, (8, 8)) for _ in range(3)]
+    anim2 = render_video_frame(frames)
+    assert anim2 is not None
