@@ -1,0 +1,268 @@
+"""Command-line interface: render / sweep / train / recover-pose / bench.
+
+The reference has no CLI (everything lives in notebook cells, SURVEY
+section 5 "Config / flag system: none"); this module makes every
+workflow reachable headlessly:
+
+    python -m diffus_tpu.cli render  --volume case.nii.gz --out frame.npy
+    python -m diffus_tpu.cli sweep   --volume case.nii.gz --poses 32 --gif sweep.gif
+    python -m diffus_tpu.cli train-impedance --t1 t1.nii.gz --us us.npy ...
+    python -m diffus_tpu.cli recover-pose    --volume case.nii.gz ...
+    python -m diffus_tpu.cli selftest
+
+Volumes may be NIfTI files or .npy arrays; ``--impedance table|none``
+selects whether intensities are mapped through the tissue table first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_volume(path: str):
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    from diffus_tpu.io import load_nifti
+
+    data, _, _ = load_nifti(path)
+    return data
+
+
+def _maybe_impedance(vol, mode: str):
+    import jax.numpy as jnp
+
+    if mode == "none":
+        return jnp.asarray(vol)
+    if mode == "table":
+        from diffus_tpu.impedance import default_table_points, tabular_impedance_volume
+
+        tx, ty = default_table_points()
+        return tabular_impedance_volume(jnp.asarray(vol), tx, ty)
+    raise SystemExit(f"unknown --impedance mode {mode!r} (use: table, none)")
+
+
+def _scene_args(p: argparse.ArgumentParser):
+    p.add_argument("--volume", required=True, help="NIfTI or .npy volume")
+    p.add_argument("--impedance", default="table", choices=["table", "none"])
+    p.add_argument("--source", type=float, nargs=3, default=[128.0, 4.0, 128.0])
+    p.add_argument("--direction", type=float, nargs=2, default=[0.0, 1.0])
+    p.add_argument("--angle", type=float, default=45.0, help="opening angle (deg)")
+    p.add_argument("--rays", type=int, default=256)
+    p.add_argument("--samples", type=int, default=512)
+    p.add_argument("--attenuation", type=float, default=1e-4)
+    p.add_argument("--start", type=float, default=0.0)
+    p.add_argument("--artifacts", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pallas", action="store_true", help="use the Pallas kernel path")
+
+
+def _build(args):
+    import jax
+    import jax.numpy as jnp
+
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.geometry import fan_directions_2d
+
+    vol = _maybe_impedance(_load_volume(args.volume), args.impedance)
+    src = jnp.asarray(np.asarray(args.source, np.float32))
+    dirs = fan_directions_2d(args.direction, np.radians(args.angle), args.rays)
+    start = args.start if args.start < 1 else int(args.start)
+    cfg = RenderConfig(
+        attenuation_coeff=args.attenuation,
+        start=start,
+        artifacts=args.artifacts,
+        use_pallas=args.pallas,
+    )
+    key = jax.random.PRNGKey(args.seed) if args.artifacts else None
+    return vol, src, dirs, cfg, key
+
+
+def cmd_render(args):
+    from diffus_tpu.render import render_frame, render_bmode
+
+    vol, src, dirs, cfg, key = _build(args)
+    x, y, z, frame = render_frame(vol, src, dirs, args.samples, cfg, key)
+    np.save(args.out, np.asarray(frame))
+    print(f"wrote {args.out}: frame {frame.shape}")
+    if args.image:
+        img = render_bmode(vol, src, dirs, args.samples, cfg, key,
+                           image_shape=(args.image_size, args.image_size))
+        _save_png(np.asarray(img), args.image)
+        print(f"wrote {args.image}")
+
+
+def cmd_sweep(args):
+    import jax
+
+    from diffus_tpu.render import render_sweep
+
+    vol, src, dirs, cfg, _ = _build(args)
+    rng = np.random.default_rng(args.seed)
+    sources = np.asarray(src)[None, :] + rng.uniform(
+        -args.jitter, args.jitter, (args.poses, 3)
+    ).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(args.seed), args.poses) if args.artifacts else None
+    x, y, z, frames = render_sweep(vol, sources, dirs, args.samples, cfg, keys)
+    np.save(args.out, np.asarray(frames))
+    print(f"wrote {args.out}: {frames.shape[0]} frames of {frames.shape[1:]}")
+    if args.gif:
+        from diffus_tpu.viz import render_video_frame, save_gif
+
+        save_gif(render_video_frame([np.asarray(f).T for f in frames]), args.gif)
+        print(f"wrote {args.gif}")
+
+
+def cmd_train_impedance(args):
+    import jax
+    import jax.numpy as jnp
+
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.geometry import fan_directions_2d
+    from diffus_tpu.train import ImpedanceTrainConfig, train_impedance, save_checkpoint
+
+    t1 = _load_volume(args.t1)
+    target = np.load(args.us).astype(np.float32)
+    dirs = fan_directions_2d(args.direction, np.radians(args.angle), args.rays)
+    cfg = ImpedanceTrainConfig(
+        num_samples=args.samples,
+        slice_index=args.slice_index,
+        epochs=args.epochs,
+        lr=args.lr,
+        loss=args.loss,
+        image_shape=tuple(target.shape),
+        render=RenderConfig(attenuation_coeff=args.attenuation, interp="trilinear"),
+    )
+    params, losses = train_impedance(
+        jax.random.PRNGKey(args.seed), jnp.asarray(t1), target,
+        jnp.asarray(np.asarray(args.source, np.float32)), dirs, cfg,
+    )
+    print(f"loss: {float(losses[0]):.6f} -> {float(losses[-1]):.6f}")
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, {"params": params, "epochs": np.int32(args.epochs)})
+        print(f"wrote checkpoint {args.checkpoint}")
+
+
+def cmd_recover_pose(args):
+    import jax.numpy as jnp
+
+    from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
+    from diffus_tpu.train import PoseRecoveryConfig, render_pose, recover_pose
+
+    vol = _maybe_impedance(_load_volume(args.volume), args.impedance)
+    geom = BeamGeometry(n_rays=args.rays, num_samples=args.samples,
+                        opening_angle=np.radians(args.angle))
+    cfg = PoseRecoveryConfig(
+        geometry=geom,
+        render=RenderConfig(attenuation_coeff=args.attenuation, interp="trilinear"),
+        lr=args.lr,
+        steps=args.steps,
+    )
+    target = np.load(args.target) if args.target else np.asarray(
+        render_pose(vol, TransducerPose.create(args.true_source), cfg)
+    )
+    init = TransducerPose.create(args.source)
+    pose, losses = recover_pose(vol, jnp.asarray(target), init, cfg)
+    result = {
+        "loss_first": float(losses[0]),
+        "loss_last": float(losses[-1]),
+        "position": [float(v) for v in np.asarray(pose.position)],
+        "rotvec": [float(v) for v in np.asarray(pose.rotvec)],
+    }
+    print(json.dumps(result))
+
+
+def cmd_selftest(args):
+    """Small end-to-end smoke: phantom -> impedance -> render -> parity."""
+    import jax.numpy as jnp
+
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.phantoms import brain_phantom_3d
+    from diffus_tpu.geometry import fan_directions_2d
+    from diffus_tpu.render import render_frame
+    from diffus_tpu.ops.reference_oracle import render_frame_dense
+
+    vol = brain_phantom_3d((32, 32, 32))
+    src = np.array([16.0, 1.0, 16.0], np.float32)
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(45.0), 8)
+    _, _, _, got = render_frame(
+        jnp.asarray(vol), jnp.asarray(src), dirs, 24, RenderConfig(attenuation_coeff=1e-4)
+    )
+    _, _, _, want = render_frame_dense(vol, src, np.asarray(dirs), 24, 1e-4, 0)
+    err = float(np.max(np.abs(np.asarray(got) - want)) / (np.max(np.abs(want)) + 1e-12))
+    ok = err < 1e-3
+    print(json.dumps({"parity_max_rel_err": err, "ok": ok}))
+    return 0 if ok else 1
+
+
+def _save_png(img: np.ndarray, path: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.imsave(path, img, cmap="gray")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="diffus_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("render", help="render one B-mode frame")
+    _scene_args(p)
+    p.add_argument("--out", default="frame.npy")
+    p.add_argument("--image", default=None, help="also write a splatted PNG")
+    p.add_argument("--image-size", type=int, default=256)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("sweep", help="batched multi-pose sweep")
+    _scene_args(p)
+    p.add_argument("--poses", type=int, default=16)
+    p.add_argument("--jitter", type=float, default=8.0)
+    p.add_argument("--out", default="sweep.npy")
+    p.add_argument("--gif", default=None)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("train-impedance", help="fit the MRI->Z MLP through the renderer")
+    p.add_argument("--t1", required=True)
+    p.add_argument("--us", required=True, help=".npy target image")
+    p.add_argument("--source", type=float, nargs=3, default=[128.0, 4.0, 128.0])
+    p.add_argument("--direction", type=float, nargs=2, default=[0.0, 1.0])
+    p.add_argument("--angle", type=float, default=45.0)
+    p.add_argument("--rays", type=int, default=256)
+    p.add_argument("--samples", type=int, default=512)
+    p.add_argument("--attenuation", type=float, default=1e-4)
+    p.add_argument("--slice-index", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--loss", default="ssim", choices=["ssim", "masked_mse_edge"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=cmd_train_impedance)
+
+    p = sub.add_parser("recover-pose", help="6-DoF pose recovery by gradient descent")
+    p.add_argument("--volume", required=True)
+    p.add_argument("--impedance", default="table", choices=["table", "none"])
+    p.add_argument("--target", default=None, help=".npy target frame (else rendered from --true-source)")
+    p.add_argument("--true-source", type=float, nargs=3, default=[128.0, 4.0, 128.0])
+    p.add_argument("--source", type=float, nargs=3, required=True, help="initial guess")
+    p.add_argument("--angle", type=float, default=45.0)
+    p.add_argument("--rays", type=int, default=64)
+    p.add_argument("--samples", type=int, default=128)
+    p.add_argument("--attenuation", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--steps", type=int, default=100)
+    p.set_defaults(fn=cmd_recover_pose)
+
+    p = sub.add_parser("selftest", help="end-to-end parity smoke test")
+    p.set_defaults(fn=cmd_selftest)
+
+    args = parser.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

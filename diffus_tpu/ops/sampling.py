@@ -55,12 +55,37 @@ def sample_nearest(volume: jax.Array, points: jax.Array):
     return idx, values
 
 
-def sample_trilinear(volume: jax.Array, points: jax.Array):
+def _flat_row_lookup(table2d: jax.Array, flat: jax.Array) -> jax.Array:
+    """Exact f32 lookup of flat indices via 128-wide row gather + one-hot
+    lane select (see :func:`sample_nearest_rows` for why this beats the
+    per-element gather on TPU)."""
+    row = flat >> 7
+    lane = flat & 127
+    rows = jnp.take(table2d, row, axis=0)
+    onehot = (lane[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(
+        table2d.dtype
+    )
+    return jnp.sum(rows * onehot, axis=-1)
+
+
+def _row_table(volume: jax.Array) -> jax.Array:
+    total = volume.size
+    table = volume.reshape(-1)
+    pad = (-total) % 128
+    if pad:
+        table = jnp.concatenate([table, jnp.zeros((pad,), volume.dtype)])
+    return table.reshape(-1, 128)
+
+
+def sample_trilinear(volume: jax.Array, points: jax.Array, gather: str = "direct"):
     """Trilinearly interpolated gather, differentiable w.r.t. ``points``.
 
     Coordinates are clamped to the valid cube before interpolation
     (border behavior matches the nearest sampler's clamp).  At integer
     points this equals the nearest sample, so parity tests can pin both.
+
+    ``gather='rows'`` routes the 8 corner loads through the lane-aligned
+    row-gather primitive (TPU fast path, identical values).
 
     Returns:
       ``(idx, values)`` where ``idx`` are the *rounded* integer coords
@@ -74,8 +99,17 @@ def sample_trilinear(volume: jax.Array, points: jax.Array):
     i0 = p0.astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, jnp.asarray(volume.shape, jnp.int32) - 1)
 
-    def gather(ix, iy, iz):
-        return volume[ix, iy, iz]
+    if gather == "rows":
+        d, h, w = volume.shape
+        table2d = _row_table(volume)
+
+        def gather(ix, iy, iz):
+            return _flat_row_lookup(table2d, (ix * h + iy) * w + iz)
+
+    else:
+
+        def gather(ix, iy, iz):
+            return volume[ix, iy, iz]
 
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
     x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
@@ -123,24 +157,17 @@ def sample_nearest_rows(volume: jax.Array, points: jax.Array):
     dims = jnp.asarray(volume.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims - 1)
     flat = (idx[..., 0] * h + idx[..., 1]) * w + idx[..., 2]
-    row = flat >> 7
-    lane = flat & 127
-
-    total = d * h * w
-    table = volume.reshape(-1)
-    pad = (-total) % 128
-    if pad:
-        table = jnp.concatenate([table, jnp.zeros((pad,), volume.dtype)])
-    table2d = table.reshape(-1, 128)
-
-    rows = jnp.take(table2d, row, axis=0)  # (..., 128)
-    onehot = (lane[..., None] == jnp.arange(128, dtype=jnp.int32)).astype(volume.dtype)
-    values = jnp.sum(rows * onehot, axis=-1)
+    values = _flat_row_lookup(_row_table(volume), flat)
     return idx, values
+
+
+def sample_trilinear_rows(volume: jax.Array, points: jax.Array):
+    return sample_trilinear(volume, points, gather="rows")
 
 
 SAMPLERS = {
     "nearest": sample_nearest,
     "nearest_rows": sample_nearest_rows,
     "trilinear": sample_trilinear,
+    "trilinear_rows": sample_trilinear_rows,
 }

@@ -44,8 +44,11 @@ def _resolve_sampler(interp: str) -> str:
     """On TPU, plain nearest upgrades to the lane-aligned row-gather
     formulation (bit-identical values, ~3x faster; see
     ``ops.sampling.sample_nearest_rows``).  Trace-time decision."""
-    if interp == "nearest" and jax.default_backend() == "tpu":
-        return "nearest_rows"
+    if jax.default_backend() == "tpu":
+        if interp == "nearest":
+            return "nearest_rows"
+        if interp == "trilinear":
+            return "trilinear_rows"
     return interp
 
 

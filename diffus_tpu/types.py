@@ -97,11 +97,14 @@ def rotvec_to_matrix(rotvec: jax.Array) -> jax.Array:
     """
     rotvec = jnp.asarray(rotvec)
     theta2 = jnp.sum(rotvec * rotvec)
-    theta = jnp.sqrt(theta2 + 1e-24)
-    # sin(t)/t and (1 - cos t)/t^2 with series fallback near zero
     small = theta2 < 1e-8
+    # double-where: the untaken sin(t)/t branch must never see t=0 or its
+    # gradient is NaN * 0 = NaN (this exactly breaks pose recovery from
+    # an identity-rotation init)
+    safe2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe2)
     sinc = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    cosc = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    cosc = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
     wx, wy, wz = rotvec[0], rotvec[1], rotvec[2]
     K = jnp.array(
         [[0.0, -wz, wy],

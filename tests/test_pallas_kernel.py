@@ -82,3 +82,18 @@ def test_render_frame_pallas_with_start(rng):
         np.testing.assert_allclose(
             np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-7
         )
+
+
+def test_trilinear_rows_matches_direct(rng):
+    from diffus_tpu.ops.sampling import sample_trilinear, sample_trilinear_rows
+
+    vol = jnp.asarray(rng.normal(size=(9, 7, 11)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-2, 12, (5, 16, 3)).astype(np.float32))
+    _, a = sample_trilinear(vol, pts)
+    _, b = sample_trilinear_rows(vol, pts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # gradients w.r.t. points also identical
+    ga = jax.grad(lambda p: jnp.sum(sample_trilinear(vol, p)[1] ** 2))(pts)
+    gb = jax.grad(lambda p: jnp.sum(sample_trilinear_rows(vol, p)[1] ** 2))(pts)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6)
