@@ -24,6 +24,10 @@ import numpy as np
 
 
 def _load_volume(path: str):
+    import os
+
+    if not os.path.exists(path):
+        raise SystemExit(f"error: volume file not found: {path}")
     if path.endswith(".npy"):
         return np.load(path).astype(np.float32)
     from diffus_tpu.io import load_nifti

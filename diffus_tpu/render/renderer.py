@@ -84,6 +84,9 @@ def simulate_rays(
     Returns ``(idx, R)`` with ``R: (n_rays, num_samples - 1)``.
     """
     idx, z = trace_rays(volume, source, directions, num_samples, interp)
+    # always compute reflection in f32: in bf16 serving mode the
+    # subtraction (z2 - z1) would otherwise cancel catastrophically
+    z = z.astype(jnp.float32)
     r = reflection_coeff(z[:, :-1], z[:, 1:])
     return idx, r
 
@@ -174,7 +177,13 @@ def render_frame(
         reference used unseeded np.random; here noise is explicit and
         reproducible).
     """
+    if config.dtype == "bfloat16":
+        # serving mode: bf16 volume halves the gather bandwidth (the
+        # bottleneck); the scan stays f32.  ~4e-3 relative error on
+        # reflection coefficients — NOT the parity mode.
+        volume = volume.astype(jnp.bfloat16)
     idx, r = simulate_rays(volume, source, directions, num_samples, config.interp)
+    r = r.astype(jnp.float32)
     start = config.start_index(num_samples)
     r = _apply_start(r, start)
 

@@ -11,6 +11,7 @@ from diffus_tpu.train.impedance_train import (
     train_step,
     train_impedance_scan,
     train_impedance,
+    train_impedance_checkpointed,
 )
 from diffus_tpu.train.pose_recovery import (
     PoseRecoveryConfig,

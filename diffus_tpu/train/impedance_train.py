@@ -141,6 +141,89 @@ def train_impedance_scan(
     return params, losses
 
 
+def train_impedance_checkpointed(
+    key,
+    t1_volume,
+    us_real,
+    source,
+    directions,
+    cfg: ImpedanceTrainConfig,
+    checkpoint_dir: str,
+    chunk: int = 10,
+    mask: Optional[jax.Array] = None,
+    metrics_path: Optional[str] = None,
+):
+    """Training with periodic orbax checkpoints and JSONL metrics.
+
+    The fully-scanned loop can't checkpoint mid-program, so epochs run in
+    compiled chunks of ``chunk`` steps with a checkpoint + metrics record
+    between chunks.  Restarting with the same ``checkpoint_dir`` resumes
+    from the last saved state (checkpoint/resume subsystem the reference
+    lacks, SURVEY section 5).
+
+    Returns ``(params, losses)``.
+    """
+    import os
+
+    import numpy as np
+
+    from diffus_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    from diffus_tpu.train.metrics import MetricsLogger
+
+    import optax
+
+    tx = optax.adam(cfg.lr)
+    us_real = jnp.asarray(us_real, jnp.float32)
+    us_norm = (us_real - jnp.min(us_real)) / (jnp.max(us_real) - jnp.min(us_real) + 1e-8)
+    if mask is None:
+        mask = jnp.ones_like(us_norm, dtype=bool)
+
+    from diffus_tpu.impedance.mlp import init_params
+
+    ckpt_path = os.path.join(checkpoint_dir, "latest")
+    params = init_params(key, cfg.hidden)
+    opt_state = tx.init(params)
+    done = 0
+    if os.path.exists(ckpt_path):
+        # restore with a structure template: orbax alone would return the
+        # optax state as plain dicts and break tx.update
+        template = {"params": params, "opt_state": opt_state, "step": np.int32(0)}
+        state = load_checkpoint(ckpt_path, template)
+        params, opt_state, done = state["params"], state["opt_state"], int(state["step"])
+
+    losses = []
+    log = MetricsLogger(metrics_path)
+    try:
+        while done < cfg.epochs:
+            n = min(chunk, cfg.epochs - done)
+            chunk_cfg = dataclasses.replace(cfg, epochs=n)
+
+            def loss_fn(p):
+                image = synth_forward(p, t1_volume, source, directions, chunk_cfg)
+                return _loss_value(image, us_norm, mask, chunk_cfg)
+
+            def step(carry, _):
+                p, s = carry
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = tx.update(grads, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), loss
+
+            (params, opt_state), chunk_losses = jax.lax.scan(
+                step, (params, opt_state), None, length=n
+            )
+            losses.append(np.asarray(chunk_losses))
+            done += n
+            save_checkpoint(
+                ckpt_path,
+                {"params": params, "opt_state": opt_state, "step": np.int32(done)},
+            )
+            log.log(done, loss=float(chunk_losses[-1]))
+    finally:
+        log.close()
+    return params, jnp.asarray(np.concatenate(losses)) if losses else jnp.zeros((0,))
+
+
 def train_impedance(
     key,
     t1_volume,

@@ -70,3 +70,27 @@ def test_graft_entry_compiles():
         lambda v, s, d: render_frame(v, s, d, 12, RenderConfig(attenuation_coeff=1e-4))[3]
     )(vol, src, dirs)
     assert out.shape == (8, 12)
+
+
+def test_depth_sharded_scan_matches_single_device(rng):
+    from diffus_tpu.parallel.depth_scan import echo_amplitudes_depth_sharded
+    from diffus_tpu.ops.propagation import echo_amplitudes
+
+    mesh = make_mesh(1, 8)
+    r = jnp.asarray(rng.uniform(-0.7, 0.7, (6, 64)).astype(np.float32))
+    got = np.asarray(echo_amplitudes_depth_sharded(r, mesh, axis="ray"))
+    want = np.asarray(echo_amplitudes(r))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_depth_sharded_scan_strong_reflectors(rng):
+    from diffus_tpu.parallel.depth_scan import echo_amplitudes_depth_sharded
+    from diffus_tpu.ops.propagation import echo_amplitudes
+
+    mesh = make_mesh(1, 4)
+    r = rng.uniform(-0.2, 0.2, (2, 32)).astype(np.float32)
+    r[:, ::7] = 0.995
+    got = np.asarray(echo_amplitudes_depth_sharded(jnp.asarray(r), mesh, axis="ray"))
+    want = np.asarray(echo_amplitudes(jnp.asarray(r)))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)

@@ -126,3 +126,13 @@ def test_trilinear_mode_close_to_nearest_on_smooth_volume(rng):
     np.testing.assert_allclose(
         np.asarray(out_n), np.asarray(out_t), atol=2e-3
     )
+
+
+def test_bfloat16_serving_mode_close(rng):
+    vol, source, dirs = _scene(rng, jitter=False)
+    cfg32 = RenderConfig(attenuation_coeff=0.1)
+    cfg16 = RenderConfig(attenuation_coeff=0.1, dtype="bfloat16")
+    out32 = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, cfg32)[3]
+    out16 = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, cfg16)[3]
+    assert out16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.05)

@@ -164,3 +164,35 @@ def test_metrics_logger(tmp_path):
         log.log(1, loss=1.2)
     lines = [json.loads(l) for l in open(path)]
     assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 1
+
+
+def test_train_impedance_checkpointed_resume(tmp_path):
+    from diffus_tpu.train import train_impedance_checkpointed
+
+    t1, z_true, src, dirs = _tiny_scene()
+    cfg = ImpedanceTrainConfig(
+        num_samples=16, slice_index=12, epochs=6, lr=0.01,
+        loss="masked_mse_edge", image_shape=(24, 24), splat_axes=(0, 1),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
+    from diffus_tpu.render.renderer import render_frame
+    from diffus_tpu.ops.splat import differentiable_splat
+
+    x, y, _, frame = render_frame(z_true, src, dirs, 16, cfg.render)
+    target = differentiable_splat(
+        x.astype(jnp.float32), y.astype(jnp.float32), frame, 24, 24, 2.0
+    )
+    ckdir = str(tmp_path / "ck")
+    params, losses = train_impedance_checkpointed(
+        jax.random.PRNGKey(0), t1, target, src, dirs, cfg, ckdir, chunk=2,
+        metrics_path=str(tmp_path / "m.jsonl"),
+    )
+    assert losses.shape == (6,)
+    # resume: raising the epoch budget continues from the checkpoint
+    import dataclasses as dc
+
+    cfg2 = dc.replace(cfg, epochs=8)
+    params2, losses2 = train_impedance_checkpointed(
+        jax.random.PRNGKey(0), t1, target, src, dirs, cfg2, ckdir, chunk=2,
+    )
+    assert losses2.shape == (2,)  # only the remaining 2 epochs ran
