@@ -6,4 +6,11 @@ from diffus_tpu.io.datasets import (
     RemindCase,
     find_remind_cases,
     CASE_PRESETS,
+    scene_from_preset,
+)
+from diffus_tpu.io.native import (
+    native_available,
+    load_nifti_native,
+    load_nifti_fast,
+    load_nifti_batch,
 )

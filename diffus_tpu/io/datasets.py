@@ -145,13 +145,42 @@ def find_remind_cases(root: str) -> dict:
 
 
 # Hand-calibrated per-case presets from the REUBEN notebooks: the edge-line
-# fits (slope/intercept pairs on the US fan), the aligned slice index, and
-# the depth window [d1, d2] used to place the renderer.  Cases map to
-# ReMIND2Reg patients as in the notebooks (46->Case046, 50->Case002,
-# 55->Case103, 63->Case002).
+# fits (slope/intercept on the US fan slice), the aligned MRI point
+# (i, j, slice), and the depth window [d1, d2] placing the renderer.
+# Values transcribed from the notebook cells:
+#   46: cells 6-10 (mL,bL = -0.7,80; mR,bR = 0.6,95; point 150,100,110)
+#   50: cells 8-12 (-0.7,86; 0.68,100; point 150,100,70)
+#   55: cells 7-11 (-0.7,85; 0.67,113; point 150,100,70)
+#   63: cells 8-12 (-0.7,90; 0.69,95; point 100,20,50)
 CASE_PRESETS = {
-    46: {"slice_idx": 46, "d1": 110.0, "d2": 230.0},
-    50: {"slice_idx": 50, "d1": 110.0, "d2": 230.0},
-    55: {"slice_idx": 55, "d1": 110.0, "d2": 230.0},
-    63: {"slice_idx": 63, "d1": 110.0, "d2": 230.0},
+    46: {"edges": (-0.7, 80.0, 0.6, 95.0), "mri_point": (150, 100, 110),
+         "d1": 110.0, "d2": 230.0},
+    50: {"edges": (-0.7, 86.0, 0.68, 100.0), "mri_point": (150, 100, 70),
+         "d1": 110.0, "d2": 230.0},
+    55: {"edges": (-0.7, 85.0, 0.67, 113.0), "mri_point": (150, 100, 70),
+         "d1": 110.0, "d2": 230.0},
+    63: {"edges": (-0.7, 90.0, 0.69, 95.0), "mri_point": (100, 20, 50),
+         "d1": 110.0, "d2": 230.0},
 }
+
+
+def scene_from_preset(case_id: int, us_affine, t1_affine, n_rays: int = 256,
+                      us_slice_shape=None, fan_plane: str = "xy"):
+    """Build a render-ready Scene from a stored case preset.
+
+    Packages the REUBEN per-case workflow: preset edge lines -> apex /
+    angle -> MRI space -> fan, with the preset depth window.
+    """
+    from diffus_tpu.scene import build_scene_from_edges
+
+    preset = CASE_PRESETS[case_id]
+    m_l, b_l, m_r, b_r = preset["edges"]
+    return build_scene_from_edges(
+        m_l, b_l, m_r, b_r, us_affine, t1_affine,
+        slice_idx=preset["mri_point"][2],
+        n_rays=n_rays,
+        d1=preset["d1"],
+        d2=preset["d2"],
+        us_slice_shape=us_slice_shape,
+        fan_plane=fan_plane,
+    )

@@ -66,6 +66,47 @@ def brain_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
     return vol
 
 
+def ct_lung_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
+    """Synthetic CT thorax in Hounsfield units: soft-tissue body, two
+    air-filled lungs, a bony sternum/spine — the fixture for the CT
+    rendering workflow (reference ``[DEMO] CT Render Lung.ipynb``; no CT
+    data ships with the repo).  Values: air ~ -1000 HU, lung ~ -750 HU,
+    soft tissue ~ 40 HU, bone ~ 700 HU."""
+    d, h, w = shape
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, d),
+        np.linspace(-1, 1, h),
+        np.linspace(-1, 1, w),
+        indexing="ij",
+    )
+    hu = np.full(shape, -1000.0, dtype=np.float32)
+    body = (xx**2 / 0.9**2 + yy**2 / 0.7**2) <= 1.0
+    hu[body] = 40.0
+    for cx in (-0.4, 0.4):
+        lung = ((xx - cx) ** 2 / 0.32**2 + yy**2 / 0.45**2 + zz**2 / 0.8**2) <= 1.0
+        hu[lung & body] = -750.0
+    sternum = (np.abs(xx) < 0.08) & (yy > 0.55) & (yy < 0.7)
+    spine = (xx**2 + (yy + 0.55) ** 2) <= 0.08**2
+    hu[(sternum | spine) & body] = 700.0
+    return hu
+
+
+def transcranial_phantom_3d(shape=(64, 64, 64), skull_scale: float = 1.0) -> np.ndarray:
+    """Brain phantom with a thick high-impedance skull — the transcranial
+    US scenario (reference ``additional_data/transcranial_US``): most of
+    the drive reflects at the bone, shadowing the interior."""
+    vol = brain_phantom_3d(shape)
+    d, h, w = shape
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, d), np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+        indexing="ij",
+    )
+    r2 = xx**2 / 0.92**2 + yy**2 / 1.08**2 + zz**2 / 1.0**2
+    skull = (r2 <= 1.3) & (r2 > 0.98)
+    vol[skull] = BONE_Z * skull_scale
+    return vol
+
+
 def t1_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
     """Synthetic T1-intensity volume matching :func:`brain_phantom_3d`'s
     anatomy, with intensities from the reference tissue table

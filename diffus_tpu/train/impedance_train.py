@@ -45,6 +45,10 @@ class ImpedanceTrainConfig:
     slice_index: int = 128
     loss: str = "ssim"  # "ssim" | "masked_mse_edge"
     edge_weight: float = 0.5
+    remat: bool = False  # jax.checkpoint the render: recompute instead of
+                         # storing sampler residuals in the backward pass
+                         # (8 gathered corner arrays can reach ~0.5 GB/frame
+                         # at the 256-ray x 512-sample config)
     image_shape: tuple = (256, 256)
     splat_sigma: float = 2.0
     splat_axes: tuple = (0, 1)
@@ -67,7 +71,12 @@ def synth_forward(params, t1_volume, source, directions, cfg: ImpedanceTrainConf
     z_slice = model.apply(params, norm.reshape(-1, 1)).reshape(x_slice.shape) * 1e6
     z_vol = t1_volume.at[:, :, cfg.slice_index].set(z_slice)
 
-    x, y, z, intensities = render_frame(
+    render = render_frame
+    if cfg.remat:
+        render = jax.checkpoint(
+            render_frame, static_argnums=(3, 4)
+        )
+    x, y, z, intensities = render(
         z_vol, source, directions, cfg.num_samples, cfg.render
     )
     coords = (x, y, z)
@@ -232,10 +241,22 @@ def train_impedance(
     directions,
     cfg: ImpedanceTrainConfig = ImpedanceTrainConfig(),
     mask: Optional[jax.Array] = None,
+    pretrain_table: bool = False,
 ):
-    """Convenience entry: init params, normalize the target like the
-    reference (min-max, GPU nb cell 16), run the scan-compiled fit."""
-    params = init_params(key, cfg.hidden)
+    """Convenience entry: init params (optionally table-pretrained),
+    normalize the target like the reference (min-max, GPU nb cell 16),
+    run the scan-compiled fit."""
+    if pretrain_table:
+        # warm-start from the tissue table (REUBEN cell 1's pretraining):
+        # the renderer-in-the-loop loss landscape is rough; starting from
+        # a physically-plausible intensity->Z curve stabilizes it
+        from diffus_tpu.impedance.table import table_arrays
+        from diffus_tpu.impedance.mlp import fit_table_mlp
+
+        tx_, ty_, _ = table_arrays()
+        params, _ = fit_table_mlp(key, tx_, ty_, hidden=cfg.hidden, epochs=1000, lr=0.01)
+    else:
+        params = init_params(key, cfg.hidden)
     us_real = jnp.asarray(us_real, jnp.float32)
     us_norm = (us_real - jnp.min(us_real)) / (jnp.max(us_real) - jnp.min(us_real) + 1e-8)
     if mask is None:

@@ -1,0 +1,72 @@
+"""Native C++ NIfTI decoder vs the pure-Python reader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffus_tpu.io.nifti import load_nifti, save_nifti
+from diffus_tpu.io.native import (
+    native_available,
+    load_nifti_native,
+    load_nifti_fast,
+    load_nifti_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="no C++ toolchain / native lib"
+)
+
+
+def test_native_matches_python(tmp_path, rng):
+    data = rng.normal(size=(9, 7, 5)).astype(np.float32)
+    affine = np.array(
+        [[0.5, 0, 0, -3], [0, 0.7, 0, 2], [0, 0, 0.9, 1], [0, 0, 0, 1]], np.float32
+    )
+    for name in ("v.nii", "v.nii.gz"):
+        path = os.path.join(str(tmp_path), name)
+        save_nifti(path, data, affine)
+        d_py, a_py, s_py = load_nifti(path)
+        d_nat, a_nat, s_nat = load_nifti_native(path)
+        np.testing.assert_array_equal(d_nat, d_py)
+        np.testing.assert_allclose(a_nat, a_py, rtol=1e-6)
+        np.testing.assert_allclose(s_nat, s_py, rtol=1e-6)
+
+
+def test_native_int16_dtype(tmp_path, rng):
+    data = rng.integers(-500, 3000, size=(6, 8, 4)).astype(np.int16)
+    path = os.path.join(str(tmp_path), "i16.nii.gz")
+    save_nifti(path, data)
+    d_nat, _, _ = load_nifti_native(path)
+    np.testing.assert_array_equal(d_nat, data.astype(np.float32))
+
+
+def test_native_error_on_garbage(tmp_path):
+    path = os.path.join(str(tmp_path), "bad.nii")
+    with open(path, "wb") as fh:
+        fh.write(b"\x01" * 500)
+    with pytest.raises(ValueError, match="probe failed"):
+        load_nifti_native(path)
+
+
+def test_batch_decode(tmp_path, rng):
+    paths = []
+    vols = []
+    for i in range(5):
+        v = rng.normal(size=(6, 5, 4)).astype(np.float32)
+        p = os.path.join(str(tmp_path), f"b{i}.nii.gz")
+        save_nifti(p, v)
+        paths.append(p)
+        vols.append(v)
+    stack, affine, spacing = load_nifti_batch(paths, threads=3)
+    assert stack.shape == (5, 6, 5, 4)
+    for i in range(5):
+        np.testing.assert_array_equal(stack[i], vols[i])
+
+
+def test_load_fast_fallback(tmp_path, rng):
+    data = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    path = os.path.join(str(tmp_path), "f.nii")
+    save_nifti(path, data)
+    d, _, _ = load_nifti_fast(path)
+    np.testing.assert_array_equal(d, data)

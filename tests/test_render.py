@@ -136,3 +136,37 @@ def test_bfloat16_serving_mode_close(rng):
     out16 = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, cfg16)[3]
     assert out16.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(out32), np.asarray(out16), atol=0.05)
+
+
+def test_cross_modality_phantoms_render(rng):
+    from diffus_tpu.phantoms import ct_lung_phantom_3d, transcranial_phantom_3d
+    from diffus_tpu.impedance import schneider_webb_impedance, crude_ct_impedance
+
+    hu = ct_lung_phantom_3d((32, 32, 32))
+    assert hu.min() == -1000.0 and hu.max() == 700.0
+    z_s = schneider_webb_impedance(jnp.asarray(hu))
+    z_c = crude_ct_impedance(jnp.asarray(hu))
+    assert np.all(np.isfinite(np.asarray(z_s)))
+    # crude model maps air (-1000 HU) to exactly zero impedance
+    np.testing.assert_allclose(np.asarray(z_c).min(), 0.0, atol=1e-3)
+
+    src = jnp.array([16.0, 8.0, 16.0])
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40), 8)
+    for z_vol in (z_s, jnp.asarray(transcranial_phantom_3d((32, 32, 32)))):
+        _, _, _, f = render_frame(z_vol, src, dirs, 24, RenderConfig(attenuation_coeff=1e-4))
+        assert np.all(np.isfinite(np.asarray(f)))
+        assert float(jnp.max(jnp.abs(f))) > 0
+
+
+def test_transcranial_skull_shadows(rng):
+    # with the thick bone shell, interior echoes beyond the skull should be
+    # attenuated relative to the open-fontanelle (no skull) phantom
+    from diffus_tpu.phantoms import transcranial_phantom_3d, brain_phantom_3d
+
+    src = jnp.array([16.0, 1.0, 16.0])
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(30), 8)
+    cfg = RenderConfig(attenuation_coeff=1e-4)
+    f_skull = render_frame(jnp.asarray(transcranial_phantom_3d((32, 32, 32))), src, dirs, 28, cfg)[3]
+    f_open = render_frame(jnp.asarray(brain_phantom_3d((32, 32, 32))), src, dirs, 28, cfg)[3]
+    # the skull interface itself produces a strong near-field echo
+    assert float(jnp.max(jnp.abs(f_skull[:, :12]))) >= float(jnp.max(jnp.abs(f_open[:, :12])))

@@ -90,3 +90,17 @@ def test_video_smoke(rng):
     frames = [rng.uniform(0, 1, (8, 8)) for _ in range(3)]
     anim2 = render_video_frame(frames)
     assert anim2 is not None
+
+
+def test_scene_from_preset():
+    from diffus_tpu.io import scene_from_preset, CASE_PRESETS
+
+    assert set(CASE_PRESETS) == {46, 50, 55, 63}
+    scene = scene_from_preset(46, np.eye(4), np.eye(4), n_rays=32)
+    # apex = intersection of y=-0.7x+80 and y=0.6x+95: x=(95-80)/(-0.7-0.6)
+    x0 = (95.0 - 80.0) / (-0.7 - 0.6)
+    y0 = -0.7 * x0 + 80.0
+    np.testing.assert_allclose(np.asarray(scene.source)[:2], [x0, y0], rtol=1e-4)
+    assert scene.geometry.num_samples == 230
+    assert scene.d1 == 110.0
+    assert scene.directions.shape == (32, 3)
