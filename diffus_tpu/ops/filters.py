@@ -29,23 +29,28 @@ def default_radius(sigma: float, truncate: float = 4.0) -> int:
     return int(truncate * float(sigma) + 0.5)
 
 
-def _reflect_pad_1d(x: jax.Array, radius: int, axis: int) -> jax.Array:
-    """scipy 'reflect' boundary mode (symmetric: edge value repeated)."""
-    if radius == 0:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (radius, radius)
-    return jnp.pad(x, pad, mode="symmetric")
+def correlate1d(x: jax.Array, kernel, axis: int, mode: str = "reflect") -> jax.Array:
+    """1D correlation along ``axis`` with a static kernel.
 
-
-def correlate1d(x: jax.Array, kernel, axis: int) -> jax.Array:
-    """1D correlation along ``axis`` with reflect boundaries (static kernel)."""
+    ``mode``: ``'reflect'`` (scipy.ndimage boundary: edge value repeated),
+    ``'zero'`` (torch conv padding), or ``'valid'`` (no padding; output
+    shrinks by ``len(kernel) - 1`` — the standard SSIM windowing).
+    """
     kernel = jnp.asarray(kernel, dtype=x.dtype)
-    radius = (kernel.shape[0] - 1) // 2
-    xp = _reflect_pad_1d(x, radius, axis)
-    n = x.shape[axis]
-    out = jnp.zeros_like(x)
-    for j in range(kernel.shape[0]):
+    size = kernel.shape[0]
+    radius = (size - 1) // 2
+    if mode == "valid":
+        xp = x
+        n = x.shape[axis] - size + 1
+    else:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (radius, radius)
+        xp = jnp.pad(x, pad, mode="symmetric" if mode == "reflect" else "constant")
+        n = x.shape[axis]
+    shape = list(x.shape)
+    shape[axis] = n
+    out = jnp.zeros(shape, dtype=x.dtype)
+    for j in range(size):
         out = out + kernel[j] * jax.lax.slice_in_dim(xp, j, j + n, axis=axis)
     return out
 

@@ -103,26 +103,26 @@ def sample_trilinear(volume: jax.Array, points: jax.Array, gather: str = "direct
         d, h, w = volume.shape
         table2d = _row_table(volume)
 
-        def gather(ix, iy, iz):
+        def corner(ix, iy, iz):
             return _flat_row_lookup(table2d, (ix * h + iy) * w + iz)
 
     else:
 
-        def gather(ix, iy, iz):
+        def corner(ix, iy, iz):
             return volume[ix, iy, iz]
 
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
     x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
     x1, y1, z1 = i1[..., 0], i1[..., 1], i1[..., 2]
 
-    c000 = gather(x0, y0, z0)
-    c001 = gather(x0, y0, z1)
-    c010 = gather(x0, y1, z0)
-    c011 = gather(x0, y1, z1)
-    c100 = gather(x1, y0, z0)
-    c101 = gather(x1, y0, z1)
-    c110 = gather(x1, y1, z0)
-    c111 = gather(x1, y1, z1)
+    c000 = corner(x0, y0, z0)
+    c001 = corner(x0, y0, z1)
+    c010 = corner(x0, y1, z0)
+    c011 = corner(x0, y1, z1)
+    c100 = corner(x1, y0, z0)
+    c101 = corner(x1, y0, z1)
+    c110 = corner(x1, y1, z0)
+    c111 = corner(x1, y1, z1)
 
     c00 = c000 * (1 - fz) + c001 * fz
     c01 = c010 * (1 - fz) + c011 * fz

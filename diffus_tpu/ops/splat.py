@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffus_tpu.ops.filters import gaussian_kernel1d, correlate1d
+from diffus_tpu.ops.filters import correlate1d
 
 
 def highest_variance_axes(x, y, z) -> tuple:
@@ -65,28 +65,41 @@ def differentiable_splat(
     weight = weight.at[flat1, flat0].add(1.0)
 
     size = int(6 * sigma) | 1
-    half = size // 2
-    t = np.arange(size, dtype=np.float64) - half
+    t = np.arange(size, dtype=np.float64) - size // 2
     k1 = np.exp(-0.5 * (t / sigma) ** 2)
     k1 = (k1 / k1.sum()).astype(np.float32)
 
     def blur(img):
         # separable zero-padded conv == conv2d with the outer-product kernel
-        pad = [(half, half), (0, 0)]
-        xp = jnp.pad(img, pad)
-        out = jnp.zeros_like(img)
-        for j in range(size):
-            out = out + k1[j] * jax.lax.slice_in_dim(xp, j, j + img.shape[0], axis=0)
-        xp = jnp.pad(out, [(0, 0), (half, half)])
-        out2 = jnp.zeros_like(img)
-        for j in range(size):
-            out2 = out2 + k1[j] * jax.lax.slice_in_dim(xp, j, j + img.shape[1], axis=1)
-        return out2
+        return correlate1d(correlate1d(img, k1, axis=0, mode="zero"),
+                           k1, axis=1, mode="zero")
 
     blurred_img = blur(image)
     blurred_weight = blur(weight)
     output = blurred_img / (blurred_weight + 1e-8)
     return output.T
+
+
+def splat_frame(
+    coords: tuple,
+    intensities: jax.Array,
+    axes: tuple = (0, 2),
+    image_shape: tuple = (256, 256),
+    sigma: float = 2.0,
+) -> jax.Array:
+    """Splat a rendered frame's ``(x, y, z)`` coord triple onto an image.
+
+    The shared composition used by ``render_bmode`` and the training
+    forward: pick two coordinate axes (static), splat intensities.
+    """
+    return differentiable_splat(
+        coords[axes[0]].astype(jnp.float32),
+        coords[axes[1]].astype(jnp.float32),
+        intensities,
+        height=image_shape[0],
+        width=image_shape[1],
+        sigma=sigma,
+    )
 
 
 def rotate_around_apex(x, z, apex, median, lateral_offset: float = 128.0):

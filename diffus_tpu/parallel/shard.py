@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from diffus_tpu.types import RenderConfig
 from diffus_tpu.render.renderer import render_frame, render_sweep
-from diffus_tpu.impedance.mlp import ImpedanceMLP
+from diffus_tpu.impedance.mlp import impedance_slice_zscore
 from diffus_tpu.train.losses import masked_mse_edge_loss
 
 
@@ -72,14 +72,10 @@ def make_sharded_train_step(mesh: Mesh, cfg, hidden=(32, 32), lr: float = 0.01):
     sources[B,3], directions[B,R,3])``.
     """
     tx = optax.adam(lr)
-    model = ImpedanceMLP(hidden=tuple(hidden))
 
     def scene_loss(params, t1_volume, target, mask, source, directions):
         x_slice = t1_volume[:, :, cfg.slice_index]
-        mean = jnp.mean(x_slice)
-        std = jnp.std(x_slice, ddof=1)
-        norm = (x_slice - mean) / (std + 1e-8)
-        z_slice = model.apply(params, norm.reshape(-1, 1)).reshape(x_slice.shape) * 1e6
+        z_slice = impedance_slice_zscore(params, x_slice, hidden=tuple(hidden))
         z_vol = t1_volume.at[:, :, cfg.slice_index].set(z_slice)
         _, _, _, frame = render_frame(
             z_vol, source, directions, cfg.num_samples, cfg.render

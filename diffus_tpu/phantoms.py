@@ -53,6 +53,7 @@ def brain_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
         np.linspace(-1, 1, h),
         np.linspace(-1, 1, w),
         indexing="ij",
+        sparse=True,
     )
     vol = np.full(shape, AIR_Z, dtype=np.float32)
     r2_brain = xx**2 / 0.8**2 + yy**2 / 0.95**2 + zz**2 / 0.9**2
@@ -78,16 +79,18 @@ def ct_lung_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
         np.linspace(-1, 1, h),
         np.linspace(-1, 1, w),
         indexing="ij",
+        sparse=True,
     )
     hu = np.full(shape, -1000.0, dtype=np.float32)
-    body = (xx**2 / 0.9**2 + yy**2 / 0.7**2) <= 1.0
+    # body/sternum/spine masks lack the z term: broadcast to the full shape
+    body = np.broadcast_to((xx**2 / 0.9**2 + yy**2 / 0.7**2) <= 1.0, shape)
     hu[body] = 40.0
     for cx in (-0.4, 0.4):
         lung = ((xx - cx) ** 2 / 0.32**2 + yy**2 / 0.45**2 + zz**2 / 0.8**2) <= 1.0
         hu[lung & body] = -750.0
     sternum = (np.abs(xx) < 0.08) & (yy > 0.55) & (yy < 0.7)
     spine = (xx**2 + (yy + 0.55) ** 2) <= 0.08**2
-    hu[(sternum | spine) & body] = 700.0
+    hu[np.broadcast_to(sternum | spine, shape) & body] = 700.0
     return hu
 
 
@@ -99,7 +102,7 @@ def transcranial_phantom_3d(shape=(64, 64, 64), skull_scale: float = 1.0) -> np.
     d, h, w = shape
     zz, yy, xx = np.meshgrid(
         np.linspace(-1, 1, d), np.linspace(-1, 1, h), np.linspace(-1, 1, w),
-        indexing="ij",
+        indexing="ij", sparse=True,
     )
     r2 = xx**2 / 0.92**2 + yy**2 / 1.08**2 + zz**2 / 1.0**2
     skull = (r2 <= 1.3) & (r2 > 0.98)

@@ -182,9 +182,13 @@ def render_frame(
         # bottleneck); the scan stays f32.  ~4e-3 relative error on
         # reflection coefficients — NOT the parity mode.
         volume = volume.astype(jnp.bfloat16)
-    idx, r = simulate_rays(volume, source, directions, num_samples, config.interp)
-    r = r.astype(jnp.float32)
     start = config.start_index(num_samples)
+    if start >= num_samples - 1:
+        raise ValueError(
+            f"start={config.start!r} skips all {num_samples} samples "
+            f"(resolved start index {start})"
+        )
+    idx, r = simulate_rays(volume, source, directions, num_samples, config.interp)
     r = _apply_start(r, start)
 
     if config.use_pallas:
@@ -194,6 +198,15 @@ def render_frame(
     else:
         echo = echo_amplitudes(r, mode=config.reflection_mode)
         out = depth_attenuation(echo, config.attenuation_coeff)
+
+    if config.pulse_length > 0:
+        from diffus_tpu.ops.filters import gaussian_pulse, convolve_pulse
+
+        pulse = gaussian_pulse(config.pulse_length, config.pulse_sigma)
+        out = convolve_pulse(out, pulse)
+        # torch's even-length conv1d padding quirk can grow the output by
+        # one sample; crop to the frame width for a consistent shape
+        out = out[..., : num_samples - start]
 
     if config.artifacts:
         from diffus_tpu.ops.artifacts import (
@@ -238,20 +251,12 @@ def render_bmode(
     under jit; use :func:`diffus_tpu.ops.splat.highest_variance_axes` to
     precompute it.
     """
-    from diffus_tpu.ops.splat import differentiable_splat
+    from diffus_tpu.ops.splat import splat_frame
 
     x, y, z, intensities = render_frame(
         volume, source, directions, num_samples, config, key
     )
-    coords = (x, y, z)
-    return differentiable_splat(
-        coords[axes[0]].astype(jnp.float32),
-        coords[axes[1]].astype(jnp.float32),
-        intensities,
-        height=image_shape[0],
-        width=image_shape[1],
-        sigma=sigma,
-    )
+    return splat_frame((x, y, z), intensities, axes, image_shape, sigma)
 
 
 def render_sweep(

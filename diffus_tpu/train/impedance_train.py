@@ -25,8 +25,8 @@ import optax
 
 from diffus_tpu.types import RenderConfig
 from diffus_tpu.render.renderer import render_frame
-from diffus_tpu.impedance.mlp import ImpedanceMLP, init_params
-from diffus_tpu.ops.splat import differentiable_splat
+from diffus_tpu.impedance.mlp import impedance_slice_zscore, init_params
+from diffus_tpu.ops.splat import splat_frame
 from diffus_tpu.train.losses import ssim_loss, masked_mse_edge_loss
 
 
@@ -63,12 +63,8 @@ def synth_forward(params, t1_volume, source, directions, cfg: ImpedanceTrainConf
     maps the z-scored slice ``x[:, :, k]``, the prediction (scaled 1e6) is
     substituted into a copy of the volume, and the frame is rendered.
     """
-    model = ImpedanceMLP(hidden=tuple(cfg.hidden))
     x_slice = t1_volume[:, :, cfg.slice_index]
-    mean = jnp.mean(x_slice)
-    std = jnp.std(x_slice, ddof=1)
-    norm = (x_slice - mean) / (std + 1e-8)
-    z_slice = model.apply(params, norm.reshape(-1, 1)).reshape(x_slice.shape) * 1e6
+    z_slice = impedance_slice_zscore(params, x_slice, hidden=tuple(cfg.hidden))
     z_vol = t1_volume.at[:, :, cfg.slice_index].set(z_slice)
 
     render = render_frame
@@ -79,16 +75,9 @@ def synth_forward(params, t1_volume, source, directions, cfg: ImpedanceTrainConf
     x, y, z, intensities = render(
         z_vol, source, directions, cfg.num_samples, cfg.render
     )
-    coords = (x, y, z)
-    image = differentiable_splat(
-        coords[cfg.splat_axes[0]].astype(jnp.float32),
-        coords[cfg.splat_axes[1]].astype(jnp.float32),
-        intensities,
-        height=cfg.image_shape[0],
-        width=cfg.image_shape[1],
-        sigma=cfg.splat_sigma,
+    return splat_frame(
+        (x, y, z), intensities, cfg.splat_axes, cfg.image_shape, cfg.splat_sigma
     )
-    return image
 
 
 def _loss_value(image, us_real_norm, mask, cfg: ImpedanceTrainConfig):
@@ -150,6 +139,31 @@ def train_impedance_scan(
     return params, losses
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def _train_chunk(params, opt_state, t1_volume, us_norm, mask, source, directions,
+                 cfg: ImpedanceTrainConfig, n_steps: int):
+    """Jitted n-step training chunk carrying the optimizer state — cached
+    across chunks and resumes (the closure-per-chunk version recompiled
+    every chunk)."""
+    tx = optax.adam(cfg.lr)
+
+    def loss_fn(p):
+        image = synth_forward(p, t1_volume, source, directions, cfg)
+        return _loss_value(image, us_norm, mask, cfg)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), None, length=n_steps
+    )
+    return params, opt_state, losses
+
+
 def train_impedance_checkpointed(
     key,
     t1_volume,
@@ -205,21 +219,9 @@ def train_impedance_checkpointed(
     try:
         while done < cfg.epochs:
             n = min(chunk, cfg.epochs - done)
-            chunk_cfg = dataclasses.replace(cfg, epochs=n)
-
-            def loss_fn(p):
-                image = synth_forward(p, t1_volume, source, directions, chunk_cfg)
-                return _loss_value(image, us_norm, mask, chunk_cfg)
-
-            def step(carry, _):
-                p, s = carry
-                loss, grads = jax.value_and_grad(loss_fn)(p)
-                updates, s = tx.update(grads, s, p)
-                p = optax.apply_updates(p, updates)
-                return (p, s), loss
-
-            (params, opt_state), chunk_losses = jax.lax.scan(
-                step, (params, opt_state), None, length=n
+            params, opt_state, chunk_losses = _train_chunk(
+                params, opt_state, t1_volume, us_norm, mask, source, directions,
+                cfg, n,
             )
             losses.append(np.asarray(chunk_losses))
             done += n

@@ -24,17 +24,12 @@ def _gaussian_window(size: int, sigma: float) -> np.ndarray:
 
 
 def _filter2d_valid(img: jax.Array, k1d: jax.Array) -> jax.Array:
-    """Separable 'valid' correlation of a 2D image with an outer-product
-    window (the standard SSIM windowing: no padding)."""
-    n = k1d.shape[0]
-    h, w = img.shape
-    out = jnp.zeros((h - n + 1, w), dtype=img.dtype)
-    for j in range(n):
-        out = out + k1d[j] * jax.lax.slice_in_dim(img, j, j + h - n + 1, axis=0)
-    out2 = jnp.zeros((h - n + 1, w - n + 1), dtype=img.dtype)
-    for j in range(n):
-        out2 = out2 + k1d[j] * jax.lax.slice_in_dim(out, j, j + w - n + 1, axis=1)
-    return out2
+    """Separable 'valid' correlation with an outer-product window (the
+    standard SSIM windowing: no padding)."""
+    from diffus_tpu.ops.filters import correlate1d
+
+    return correlate1d(correlate1d(img, k1d, axis=0, mode="valid"),
+                       k1d, axis=1, mode="valid")
 
 
 @partial(jax.jit, static_argnames=("kernel_size", "kernel_sigma", "data_range", "k1", "k2"))

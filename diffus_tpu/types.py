@@ -156,6 +156,10 @@ class RenderConfig:
     interp: Literal["nearest", "trilinear"] = "nearest"
     reflection_mode: Literal["parity", "symmetric"] = "parity"
     use_pallas: bool = False
+    pulse_length: int = 0   # >0 enables Gaussian transducer-pulse convolution
+    pulse_sigma: float = 1.0  # of the echo train (the optional stage the
+                              # reference keeps commented at renderer.py:250;
+                              # compute_gaussian_pulse, renderer.py:459-479)
     artifacts: bool = False
     std_radial: float = 0.01
     std_local: float = 0.15

@@ -170,3 +170,56 @@ def test_transcranial_skull_shadows(rng):
     f_open = render_frame(jnp.asarray(brain_phantom_3d((32, 32, 32))), src, dirs, 28, cfg)[3]
     # the skull interface itself produces a strong near-field echo
     assert float(jnp.max(jnp.abs(f_skull[:, :12]))) >= float(jnp.max(jnp.abs(f_open[:, :12])))
+
+
+def test_render_with_pulse_convolution(rng):
+    from diffus_tpu.ops.filters import gaussian_pulse
+    from scipy.ndimage import correlate1d
+
+    vol, source, dirs = _scene(rng, n_rays=4)
+    base = RenderConfig(attenuation_coeff=0.1)
+    with_pulse = RenderConfig(attenuation_coeff=0.1, pulse_length=9, pulse_sigma=2.0)
+    f0 = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, base)[3]
+    f1 = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, with_pulse)[3]
+    assert f1.shape == f0.shape
+    # the pulse stage is a zero-padded correlation of the base echo train
+    p = gaussian_pulse(9, 2.0)
+    want = np.stack([
+        np.correlate(np.pad(np.asarray(f0)[i], 4), p, mode="valid")
+        for i in range(4)
+    ])
+    np.testing.assert_allclose(np.asarray(f1), want, rtol=1e-4, atol=1e-6)
+
+
+def test_fuzz_parity_random_configs(rng):
+    # property-style sweep: random scene/config against the dense oracle
+    for trial in range(4):
+        shape = tuple(int(v) for v in rng.integers(12, 28, 3))
+        vol = rng.uniform(1.3e6, 1.8e6, shape).astype(np.float32)
+        vol[rng.random(shape) < 0.05] = 400.0
+        n_rays = int(rng.integers(2, 9))
+        samples = int(rng.integers(6, 20))
+        start_opts = [0, int(rng.integers(0, samples // 2)), float(rng.uniform(0, 0.4))]
+        start = start_opts[trial % 3]
+        att = float(rng.uniform(0, 0.3))
+        src = rng.uniform(2, min(shape) - 2, 3).astype(np.float32)
+        theta = rng.uniform(0, 2 * np.pi)
+        dirs = np.asarray(
+            fan_directions_2d([np.sin(theta), np.cos(theta)], rng.uniform(0.2, 1.2), n_rays)
+        )
+        cfg = RenderConfig(attenuation_coeff=att, start=start)
+        out = render_frame(jnp.asarray(vol), jnp.asarray(src), jnp.asarray(dirs), samples, cfg)[3]
+        want = render_frame_dense(vol, src, dirs, samples, att, start)[3]
+        np.testing.assert_allclose(
+            np.asarray(out), want, rtol=5e-3, atol=5e-4,
+            err_msg=f"trial {trial}: shape={shape} rays={n_rays} s={samples} start={start}",
+        )
+
+
+def test_start_exceeding_samples_raises(rng):
+    vol, source, dirs = _scene(rng, n_rays=4)
+    with pytest.raises(ValueError, match="skips all"):
+        render_frame(
+            jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 8,
+            RenderConfig(start=20),
+        )
