@@ -1,0 +1,113 @@
+"""Secondary benchmarks: the application workloads (BASELINE configs 2-4).
+
+Not run by the driver (bench.py is the headline); this script times the
+multi-pose sweep, the renderer-in-the-loop training step, and a pose
+-recovery step on whatever backend is active, printing one JSON line per
+workload.  All timings use host-readback per call (the only reliable
+method through the execution relay — see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _readback_time(fn, args_list, n=6):
+    _ = jax_block(fn(*args_list[0]))
+    t0 = time.perf_counter()
+    for i in range(n):
+        _ = jax_block(fn(*args_list[(i + 1) % len(args_list)]))
+    return (time.perf_counter() - t0) / n
+
+
+def jax_block(x):
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(np.asarray(leaves[0]).ravel()[0]) if leaves else 0.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
+    from diffus_tpu.render.renderer import render_sweep, render_frame
+    from diffus_tpu.geometry.fan import fan_directions_2d
+    from diffus_tpu.phantoms import brain_phantom_3d, t1_phantom_3d
+    from diffus_tpu.train.impedance_train import (
+        ImpedanceTrainConfig,
+        train_step,
+    )
+    from diffus_tpu.train.pose_recovery import PoseRecoveryConfig, render_pose
+    from diffus_tpu.impedance.mlp import init_params
+    from diffus_tpu.ops.splat import splat_frame
+    import optax
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # config 2: multi-pose sweep (quarter-size volume keeps compile short)
+    dim, rays, samples, P = 128, 256, 256, 16
+    vol = jnp.asarray(brain_phantom_3d((dim,) * 3))
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(45.0), rays)
+    cfg = RenderConfig(attenuation_coeff=1e-4)
+    sweep = jax.jit(lambda v, s: jnp.sum(render_sweep(v, s, dirs, samples, cfg)[3]))
+    sets = [
+        jnp.asarray(np.tile(np.array([dim / 2, 4.0, dim / 2], np.float32), (P, 1))
+                    + rng.uniform(-4, 4, (P, 3)).astype(np.float32))
+        for _ in range(8)
+    ]
+    dt = _readback_time(sweep, [(vol, s) for s in sets])
+    results["sweep_ms_per_pose"] = round(dt / P * 1e3, 3)
+
+    # config 3: one training step (impedance MLP through the render)
+    t1 = jnp.asarray(t1_phantom_3d((dim,) * 3))
+    tcfg = ImpedanceTrainConfig(
+        num_samples=samples, slice_index=dim // 2, lr=0.01,
+        loss="masked_mse_edge", image_shape=(128, 128), splat_axes=(0, 1),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
+    x, y, _, frame = render_frame(vol, sets[0][0], dirs, samples, tcfg.render)
+    target = splat_frame((x, y, None), frame, (0, 1), (128, 128))
+    params = init_params(jax.random.PRNGKey(0))
+    opt_state = optax.adam(tcfg.lr).init(params)
+    mask = jnp.ones((128, 128), bool)
+
+    def one_step(p, s, src):
+        p2, s2, loss = train_step(p, s, t1, target, mask, src, dirs, tcfg)
+        return loss
+
+    dt = _readback_time(
+        lambda src: one_step(params, opt_state, src), [(s[0],) for s in sets]
+    )
+    results["train_step_ms"] = round(dt * 1e3, 2)
+
+    # config 4: one pose-recovery gradient step
+    geom = BeamGeometry(n_rays=64, num_samples=128)
+    pcfg = PoseRecoveryConfig(
+        geometry=geom, render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    )
+    target_p = render_pose(vol, TransducerPose.create([dim / 2, 2.0, dim / 2]), pcfg)
+
+    @jax.jit
+    def pose_grad(pos):
+        pose = TransducerPose(position=pos, rotvec=jnp.zeros(3))
+        frame = render_pose(vol, pose, pcfg)
+        return jnp.sum(jax.grad(
+            lambda p: jnp.mean((render_pose(vol, TransducerPose(position=p, rotvec=jnp.zeros(3)), pcfg) - target_p) ** 2)
+        )(pos))
+
+    dt = _readback_time(pose_grad, [(s[0],) for s in sets])
+    results["pose_grad_step_ms"] = round(dt * 1e3, 2)
+
+    results["device"] = str(jax.devices()[0])
+    results["note"] = "readback timing incl. host sync; volume 128^3"
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
