@@ -188,10 +188,24 @@ def render_frame(
             f"start={config.start!r} skips all {num_samples} samples "
             f"(resolved start index {start})"
         )
-    idx, r = simulate_rays(volume, source, directions, num_samples, config.interp)
+    idx, z = trace_rays(volume, source, directions, num_samples, config.interp)
+    z = z.astype(jnp.float32)
+    r = reflection_coeff(z[:, :-1], z[:, 1:])
     r = _apply_start(r, start)
 
-    if config.use_pallas:
+    if config.reflection_mode == "physical":
+        # impedance-weighted right-to-left reflection (forward_physics.md:66);
+        # sliced like r, with its own torch-median first-column patch so the
+        # start-skip semantics stay consistent
+        from diffus_tpu.ops.propagation import impedance_weighted_rho
+
+        rho = impedance_weighted_rho(
+            reflection_coeff(z[:, :-1], z[:, 1:]), z[:, :-1], z[:, 1:]
+        )
+        rho = _apply_start(rho, start)
+        echo = echo_amplitudes(r, rho=rho)
+        out = depth_attenuation(echo, config.attenuation_coeff)
+    elif config.use_pallas:
         from diffus_tpu.kernels.propagation_pallas import echo_pallas
 
         out = echo_pallas(r, config.reflection_mode, config.attenuation_coeff)

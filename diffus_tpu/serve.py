@@ -1,0 +1,124 @@
+"""Serving runtime: a persistent renderer for production deployment.
+
+The functional API (``render_frame``/``render_sweep``) recompiles per
+shape and re-stages inputs per call; a serving deployment wants a
+long-lived object that (a) keeps the impedance volume resident in HBM,
+(b) precompiles the render for a fixed set of batch sizes, and
+(c) pads incoming pose batches to the nearest compiled size so arbitrary
+request sizes hit the jit cache.  That is what :class:`RendererService`
+provides — the runtime shell around the compute path (the reference has
+no serving story; everything is notebook cells).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffus_tpu.types import RenderConfig, BeamGeometry
+from diffus_tpu.render.renderer import render_sweep
+from diffus_tpu.geometry.fan import fan_directions_2d
+
+
+class RendererService:
+    """Long-lived B-mode renderer bound to one volume + beam geometry.
+
+    Example::
+
+        svc = RendererService(z_volume, BeamGeometry(n_rays=256,
+                              num_samples=512),
+                              RenderConfig(attenuation_coeff=1e-4))
+        svc.warmup()                       # compile the batch tiers
+        frames = svc.render(sources)       # (P, 3) -> (P, rays, depth)
+    """
+
+    def __init__(
+        self,
+        volume,
+        geometry: BeamGeometry = BeamGeometry(),
+        config: RenderConfig = RenderConfig(attenuation_coeff=1e-4),
+        median_direction=(0.0, 1.0),
+        batch_tiers: Sequence[int] = (1, 8, 32),
+        device=None,
+    ):
+        self.geometry = geometry
+        self.config = config
+        self.batch_tiers = tuple(sorted(set(int(b) for b in batch_tiers)))
+        if not self.batch_tiers:
+            raise ValueError("need at least one batch tier")
+        self._device = device or jax.devices()[0]
+        # stage the scene once: volume + fan directions live on-device
+        self.volume = jax.device_put(jnp.asarray(volume, jnp.float32), self._device)
+        self.directions = jax.device_put(
+            fan_directions_2d(
+                median_direction, geometry.opening_angle, geometry.n_rays
+            ),
+            self._device,
+        )
+        self._fn = jax.jit(
+            lambda v, s, d: render_sweep(
+                v, s, d, self.geometry.num_samples, self.config
+            )[3]
+        )
+        self.stats = {"requests": 0, "frames": 0, "padded_frames": 0}
+
+    def _tier(self, n: int) -> int:
+        for b in self.batch_tiers:
+            if n <= b:
+                return b
+        return self.batch_tiers[-1]
+
+    def warmup(self) -> float:
+        """Compile every batch tier; returns seconds spent."""
+        t0 = time.perf_counter()
+        dummy = jnp.zeros((1, 3), jnp.float32)
+        for b in self.batch_tiers:
+            src = jnp.broadcast_to(dummy, (b, 3))
+            self._fn(self.volume, src, self.directions).block_until_ready()
+        return time.perf_counter() - t0
+
+    def render(self, sources) -> jax.Array:
+        """Render a batch of poses.
+
+        Args:
+          sources: ``(P, 3)`` apex positions (any P).
+        Returns:
+          ``(P, n_rays, num_samples - start)`` frames.
+        """
+        sources = jnp.asarray(sources, jnp.float32)
+        if sources.ndim == 1:
+            sources = sources[None]
+        p = sources.shape[0]
+        out = []
+        offset = 0
+        max_tier = self.batch_tiers[-1]
+        while offset < p:
+            n = min(p - offset, max_tier)
+            tier = self._tier(n)
+            chunk = sources[offset : offset + n]
+            if n < tier:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.broadcast_to(chunk[-1:], (tier - n, 3))]
+                )
+                self.stats["padded_frames"] += tier - n
+            frames = self._fn(self.volume, chunk, self.directions)
+            out.append(frames[:n])
+            offset += n
+        self.stats["requests"] += 1
+        self.stats["frames"] += int(p)
+        return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+    def update_volume(self, volume) -> None:
+        """Swap the resident volume (e.g. new case) without recompiling —
+        shapes must match the staged volume."""
+        new = jnp.asarray(volume, jnp.float32)
+        if new.shape != self.volume.shape:
+            raise ValueError(
+                f"volume shape {new.shape} != staged {self.volume.shape}; "
+                "build a new service for a different shape"
+            )
+        self.volume = jax.device_put(new, self._device)

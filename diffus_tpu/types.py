@@ -146,15 +146,16 @@ class RenderConfig:
     ``'trilinear'`` makes the render differentiable w.r.t. pose.
     ``reflection_mode`` selects the r_RL convention in the propagation
     solver: ``'parity'`` matches the shipped code's ``refRL = +refLR``
-    (``src/renderer.py:382``), ``'symmetric'`` the physically-motivated
-    ``refRL = -refLR`` of the older notebook
-    (``[DEPR] fix_propagation_full_transmission.ipynb`` cell 8).
+    (``src/renderer.py:382``), ``'symmetric'`` the ``refRL = -refLR`` of
+    the older notebook (``[DEPR] fix_propagation...`` cell 8), and
+    ``'physical'`` the impedance-weighted convention of the physics doc,
+    ``R_{i+1,i} = -R_{i,i+1} Z_i/Z_{i+1}`` (``forward_physics.md:66``).
     """
 
     attenuation_coeff: float = 0.5
     start: float | int = 0
     interp: Literal["nearest", "trilinear"] = "nearest"
-    reflection_mode: Literal["parity", "symmetric"] = "parity"
+    reflection_mode: Literal["parity", "symmetric", "physical"] = "parity"
     use_pallas: bool = False
     pulse_length: int = 0   # >0 enables Gaussian transducer-pulse convolution
     pulse_sigma: float = 1.0  # of the echo train (the optional stage the

@@ -7,5 +7,7 @@ from diffus_tpu.viz.plots import (
     plot_edge_lines,
     plot_cone_overlay,
     plot_median_line,
+    plot_aligned_pair,
+    plot_volume_3d,
 )
 from diffus_tpu.viz.video import render_video, render_video_frame, save_gif

@@ -91,6 +91,45 @@ def plot_histogram(volume, bins: int = 50, ax=None):
     return ax
 
 
+def plot_aligned_pair(slice_a, point_a, slice_b, point_b,
+                      titles=("T1", "US")):
+    """Side-by-side display of two aligned slices with marked points.
+
+    Covers ``plot_mri_us_aligned`` / ``plot_mri_us_aligned_0``
+    (``src/cone.py:61-95``): each panel shows a slice with its
+    corresponding (col, row) point marked.
+    """
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(12, 6))
+    for ax, img, pt, title in zip(axes, (slice_a, slice_b), (point_a, point_b), titles):
+        ax.imshow(np.asarray(img), cmap="gray", origin="lower")
+        ax.plot(pt[0], pt[1], "ro", markersize=6)
+        ax.set_title(title)
+        ax.axis("off")
+    fig.tight_layout()
+    return axes
+
+
+def plot_volume_3d(volume, threshold: float = 0.5, max_points: int = 20000,
+                   ax=None):
+    """3D scatter of supra-threshold voxels (matplotlib; the reference used
+    plotly isosurface/scatter, ``src/datatype.py:96-172`` — plotly is not
+    in this image, so the view is a decimated 3D scatter)."""
+    plt = _plt()
+    vol = np.asarray(volume, dtype=np.float64)
+    vol = (vol - vol.min()) / (vol.max() - vol.min() + 1e-12)
+    zs, ys, xs = np.nonzero(vol > threshold)
+    if len(xs) > max_points:
+        sel = np.random.default_rng(0).choice(len(xs), max_points, replace=False)
+        xs, ys, zs = xs[sel], ys[sel], zs[sel]
+    if ax is None:
+        fig = plt.figure(figsize=(7, 7))
+        ax = fig.add_subplot(projection="3d")
+    ax.scatter(xs, ys, zs, s=2, alpha=0.2)
+    ax.set_box_aspect(np.asarray(volume).shape[::-1])
+    return ax
+
+
 def plot_edge_lines(us_slice, m_left, b_left, m_right, b_right, ax=None):
     """US slice with the two hand-fit fan edge lines
     (``src/cone.py:128-143``)."""

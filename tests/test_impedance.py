@@ -120,3 +120,29 @@ def test_schneider_webb_against_numpy_oracle(rng):
     rho = np.interp(hu + 1000.0, SCHNEIDER_HU[order], SCHNEIDER_RHO[order])
     want = rho * (WEBB_A * (hu + 1000.0) + WEBB_B)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_brain_phantom_2d_reference_values():
+    """Parity with generate_brain_phantom_2d ([DEMO] Modeling Choices cell 5)
+    via an independent numpy transcription of the same formulas."""
+    import torch  # transcribe the torch meshgrid semantics exactly
+
+    from diffus_tpu.phantoms import brain_phantom_2d
+
+    rows, cols = 20, 10
+    got = brain_phantom_2d(rows, cols)
+
+    yy, xx = torch.meshgrid(
+        torch.linspace(-1, 1, rows), torch.linspace(-1, 1, cols), indexing="ij"
+    )
+    want = torch.full((rows, cols), 0.0004e6)
+    brain = (xx**2 / 0.8**2 + yy**2 / 0.95**2) <= 1.0
+    csf = (xx**2 / 0.88**2 + yy**2 / 1.05**2) <= 1.0
+    want[csf & ~brain] = 1.50e6
+    want[brain] = 1.60e6
+    tumor = (abs(xx) < 0.2) & (abs(yy) < 0.3)
+    want[tumor & brain] = 1.68e6
+    rows_idx = torch.where(brain.any(dim=1))[0]
+    bottom = rows_idx[-1]
+    want[bottom, brain[bottom]] = 7.80e6
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-6)

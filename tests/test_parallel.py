@@ -94,3 +94,57 @@ def test_depth_sharded_scan_strong_reflectors(rng):
     want = np.asarray(echo_amplitudes(jnp.asarray(r)))
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device(rng):
+    """The GSPMD-sharded training step must produce the same loss and
+    parameter update as an unsharded evaluation of the same batch."""
+    import optax
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.train.impedance_train import ImpedanceTrainConfig
+    from diffus_tpu.impedance.mlp import init_params, impedance_slice_zscore
+    from diffus_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
+    from diffus_tpu.render.renderer import render_frame
+    from diffus_tpu.train.losses import masked_mse_edge_loss
+
+    dim, rays, samples, B = 16, 8, 12, 4
+    cfg = ImpedanceTrainConfig(
+        num_samples=samples, slice_index=dim // 2, loss="masked_mse_edge",
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
+    t1 = jnp.asarray(rng.uniform(100, 2000, (B, dim, dim, dim)).astype(np.float32))
+    targets = jnp.asarray(rng.uniform(0, 1, (B, rays, samples)).astype(np.float32))
+    masks = jnp.ones((B, rays, samples), bool)
+    sources = jnp.asarray(np.tile([dim / 2, 1.0, dim / 2], (B, 1)).astype(np.float32))
+    dirs = jnp.broadcast_to(
+        fan_directions_2d([0.0, 1.0], np.radians(40), rays)[None], (B, rays, 3)
+    )
+
+    params = init_params(jax.random.PRNGKey(0))
+    tx = optax.adam(0.01)
+
+    # unsharded reference step
+    def scene_loss(p, t1v, target, mask, src, d):
+        z_slice = impedance_slice_zscore(p, t1v[:, :, cfg.slice_index])
+        z_vol = t1v.at[:, :, cfg.slice_index].set(z_slice)
+        _, _, _, frame = render_frame(z_vol, src, d, samples, cfg.render)
+        return masked_mse_edge_loss(frame, target, mask, cfg.edge_weight)
+
+    def batch_loss(p):
+        return jnp.mean(jax.vmap(scene_loss, in_axes=(None, 0, 0, 0, 0, 0))(
+            p, t1, targets, masks, sources, dirs))
+
+    loss_ref, grads_ref = jax.value_and_grad(batch_loss)(params)
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, updates)
+
+    mesh = make_mesh(2, 4)
+    with mesh:
+        step_fn, init_opt = make_sharded_train_step(mesh, cfg)
+        batch = shard_batch(mesh, (t1, targets, masks, sources, dirs))
+        params_sh, _, loss_sh = step_fn(params, init_opt(params), batch)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_sh),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -223,3 +223,22 @@ def test_start_exceeding_samples_raises(rng):
             jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 8,
             RenderConfig(start=20),
         )
+
+
+def test_physical_reflection_mode_vs_oracle(rng):
+    from diffus_tpu.ops.reference_oracle import echo_amplitudes_dense
+    from diffus_tpu.ops.sampling import sample_nearest, ray_points
+
+    vol, source, dirs = _scene(rng)
+    cfg = RenderConfig(attenuation_coeff=0.1, reflection_mode="physical")
+    out = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, cfg)[3]
+
+    # oracle: sample, reflection + impedance-weighted rho, dense solves
+    pts = np.asarray(ray_points(jnp.asarray(source), jnp.asarray(dirs), 20))
+    _, z = sample_nearest(jnp.asarray(vol), jnp.asarray(pts))
+    z = np.asarray(z, dtype=np.float64)
+    r = (z[:, 1:] - z[:, :-1]) / (z[:, 1:] + z[:, :-1])
+    rho = -r * z[:, :-1] / z[:, 1:]
+    echo = echo_amplitudes_dense(r, rho=rho)
+    want = echo * np.exp(-0.1 * np.arange(echo.shape[1]))[None, :]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=5e-3, atol=5e-4)

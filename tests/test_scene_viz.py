@@ -104,3 +104,14 @@ def test_scene_from_preset():
     assert scene.geometry.num_samples == 230
     assert scene.d1 == 110.0
     assert scene.directions.shape == (32, 3)
+
+
+def test_viz_aligned_and_3d(rng):
+    from diffus_tpu.viz import plot_aligned_pair, plot_volume_3d
+
+    a = rng.uniform(0, 1, (16, 16))
+    b = rng.uniform(0, 1, (16, 16))
+    axes = plot_aligned_pair(a, (4, 5), b, (6, 7))
+    assert len(axes) == 2
+    ax = plot_volume_3d(rng.uniform(0, 1, (8, 8, 8)), threshold=0.7)
+    assert ax is not None

@@ -1,0 +1,53 @@
+"""Serving runtime: batching tiers, padding, volume swap."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffus_tpu.serve import RendererService
+from diffus_tpu.types import RenderConfig, BeamGeometry
+from diffus_tpu.render.renderer import render_frame
+from diffus_tpu.geometry.fan import fan_directions_2d
+from diffus_tpu.phantoms import brain_phantom_3d
+
+
+@pytest.fixture(scope="module")
+def svc():
+    vol = brain_phantom_3d((24, 24, 24))
+    geom = BeamGeometry(n_rays=8, num_samples=16, opening_angle=np.radians(40))
+    s = RendererService(vol, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1, 4))
+    s.warmup()
+    return s
+
+
+def test_service_matches_functional(svc, rng):
+    src = np.array([12.0, 1.0, 12.0], np.float32)
+    frames = svc.render(src)
+    want = render_frame(svc.volume, jnp.asarray(src), svc.directions, 16,
+                        svc.config)[3]
+    np.testing.assert_allclose(np.asarray(frames[0]), np.asarray(want), rtol=1e-6)
+
+
+def test_service_odd_batch_padding(svc, rng):
+    # 3 poses -> padded to the 4-tier; 6 poses -> chunks of 4 + padded 2
+    for p in (3, 6):
+        sources = np.tile([12.0, 1.0, 12.0], (p, 1)).astype(np.float32) \
+            + rng.uniform(-1, 1, (p, 3)).astype(np.float32)
+        frames = svc.render(sources)
+        assert frames.shape == (p, 8, 16)
+        for i in range(p):
+            want = render_frame(svc.volume, jnp.asarray(sources[i]),
+                                svc.directions, 16, svc.config)[3]
+            np.testing.assert_allclose(np.asarray(frames[i]), np.asarray(want),
+                                       rtol=1e-5, atol=1e-7)
+    assert svc.stats["padded_frames"] > 0
+
+
+def test_service_volume_swap(svc):
+    new_vol = brain_phantom_3d((24, 24, 24)) * 1.1
+    svc.update_volume(new_vol)
+    frames = svc.render(np.array([12.0, 1.0, 12.0], np.float32))
+    assert np.all(np.isfinite(np.asarray(frames)))
+    with pytest.raises(ValueError, match="staged"):
+        svc.update_volume(brain_phantom_3d((16, 16, 16)))
