@@ -61,9 +61,11 @@ def _kernel(r_ref, out_ref, *, n_interfaces: int, mode: str, att: float):
         if mode == "parity":
             k = 1.0 - 2.0 * r * r
             rho = r
-        else:  # symmetric: rho = -r
+        elif mode == "symmetric":
             k = ones
             rho = -r
+        else:  # pragma: no cover - rejected before tracing
+            raise ValueError(f"unsupported reflection mode: {mode!r}")
         a2 = k * pa + r * pc
         b2 = k * pb + r * pd
         c2 = pc - rho * pa
@@ -120,8 +122,11 @@ def echo_pallas(r: jax.Array, mode: str = "parity", att: float = 0.5):
 
     Drop-in equivalent of
     ``depth_attenuation(echo_amplitudes(r, mode), att)`` with a Pallas
-    forward and the XLA-scan VJP.
+    forward and the XLA-scan VJP.  Modes: 'parity' | 'symmetric'
+    ('physical' needs impedances and is served by the XLA path).
     """
+    if mode not in ("parity", "symmetric"):
+        raise ValueError(f"unsupported reflection mode for the kernel: {mode!r}")
     lead = r.shape[:-1]
     n = r.shape[-1]
     flat = r.reshape((-1, n))

@@ -87,7 +87,13 @@ def echo_amplitudes_depth_sharded(
       ``(B, N + 1)``: ``[0, d0^(1), ..., d0^(N)]``, identical to the
       single-device scan.
     """
-    rho = r if mode == "parity" else -r
+    if mode == "parity":
+        rho = r
+    elif mode == "symmetric":
+        rho = -r
+    else:
+        # 'physical' needs impedances, not just r — cannot be derived here
+        raise ValueError(f"unsupported reflection mode for depth sharding: {mode!r}")
 
     @partial(
         jax.shard_map,

@@ -156,6 +156,7 @@ def render_frame(
     num_samples: int,
     config: RenderConfig = _DEFAULT_CONFIG,
     key: Optional[jax.Array] = None,
+    step: float = 1.0,
 ):
     """Render one fan frame of echo intensities.
 
@@ -176,6 +177,8 @@ def render_frame(
       key: PRNG key, required when ``config.artifacts`` is set (the
         reference used unseeded np.random; here noise is explicit and
         reproducible).
+      step: voxel units per depth sample (``BeamGeometry.step``;
+        reference uses 1.0).
     """
     if config.dtype == "bfloat16":
         # serving mode: bf16 volume halves the gather bandwidth (the
@@ -188,28 +191,29 @@ def render_frame(
             f"start={config.start!r} skips all {num_samples} samples "
             f"(resolved start index {start})"
         )
-    idx, z = trace_rays(volume, source, directions, num_samples, config.interp)
+    idx, z = trace_rays(volume, source, directions, num_samples, config.interp, step)
     z = z.astype(jnp.float32)
     r = reflection_coeff(z[:, :-1], z[:, 1:])
-    r = _apply_start(r, start)
 
     if config.reflection_mode == "physical":
         # impedance-weighted right-to-left reflection (forward_physics.md:66);
-        # sliced like r, with its own torch-median first-column patch so the
-        # start-skip semantics stay consistent
+        # computed from the pre-slice r/z, then sliced like r with its own
+        # torch-median first-column patch so start-skip semantics match
         from diffus_tpu.ops.propagation import impedance_weighted_rho
 
-        rho = impedance_weighted_rho(
-            reflection_coeff(z[:, :-1], z[:, 1:]), z[:, :-1], z[:, 1:]
+        rho = _apply_start(
+            impedance_weighted_rho(r, z[:, :-1], z[:, 1:]), start
         )
-        rho = _apply_start(rho, start)
+        r = _apply_start(r, start)
         echo = echo_amplitudes(r, rho=rho)
         out = depth_attenuation(echo, config.attenuation_coeff)
     elif config.use_pallas:
         from diffus_tpu.kernels.propagation_pallas import echo_pallas
 
+        r = _apply_start(r, start)
         out = echo_pallas(r, config.reflection_mode, config.attenuation_coeff)
     else:
+        r = _apply_start(r, start)
         echo = echo_amplitudes(r, mode=config.reflection_mode)
         out = depth_attenuation(echo, config.attenuation_coeff)
 
@@ -280,6 +284,7 @@ def render_sweep(
     num_samples: int,
     config: RenderConfig = _DEFAULT_CONFIG,
     keys: Optional[jax.Array] = None,
+    step: float = 1.0,
 ):
     """Batched multi-pose sweep: vmap of :func:`render_frame` over poses.
 
@@ -297,9 +302,9 @@ def render_sweep(
         directions = jnp.broadcast_to(
             directions[None], (sources.shape[0],) + directions.shape
         )
-    fn = lambda s, d, k: render_frame(volume, s, d, num_samples, config, k)
+    fn = lambda s, d, k: render_frame(volume, s, d, num_samples, config, k, step)
     if keys is None:
-        return jax.vmap(lambda s, d: render_frame(volume, s, d, num_samples, config))(
-            sources, directions
-        )
+        return jax.vmap(
+            lambda s, d: render_frame(volume, s, d, num_samples, config, step=step)
+        )(sources, directions)
     return jax.vmap(fn)(sources, directions, keys)

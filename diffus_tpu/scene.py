@@ -46,6 +46,7 @@ class Scene:
         return render_frame(
             volume, self.source, self.directions,
             self.geometry.num_samples, config, key,
+            step=self.geometry.step,
         )
 
 

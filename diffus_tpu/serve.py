@@ -13,11 +13,10 @@ no serving story; everything is notebook cells).
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diffus_tpu.types import RenderConfig, BeamGeometry
 from diffus_tpu.render.renderer import render_sweep
@@ -59,9 +58,10 @@ class RendererService:
             ),
             self._device,
         )
+        step = float(geometry.step)
         self._fn = jax.jit(
             lambda v, s, d: render_sweep(
-                v, s, d, self.geometry.num_samples, self.config
+                v, s, d, self.geometry.num_samples, self.config, step=step
             )[3]
         )
         self.stats = {"requests": 0, "frames": 0, "padded_frames": 0}
@@ -93,6 +93,11 @@ class RendererService:
         if sources.ndim == 1:
             sources = sources[None]
         p = sources.shape[0]
+        if p == 0:
+            depth = self.geometry.num_samples - self.config.start_index(
+                self.geometry.num_samples
+            )
+            return jnp.zeros((0, self.geometry.n_rays, depth), jnp.float32)
         out = []
         offset = 0
         max_tier = self.batch_tiers[-1]

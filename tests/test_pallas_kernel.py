@@ -97,3 +97,16 @@ def test_trilinear_rows_matches_direct(rng):
     ga = jax.grad(lambda p: jnp.sum(sample_trilinear(vol, p)[1] ** 2))(pts)
     gb = jax.grad(lambda p: jnp.sum(sample_trilinear_rows(vol, p)[1] ** 2))(pts)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6)
+
+
+def test_kernel_and_depth_scan_reject_physical_mode(rng):
+    from diffus_tpu.parallel.depth_scan import echo_amplitudes_depth_sharded
+    from diffus_tpu.parallel import make_mesh
+
+    r = jnp.zeros((2, 8))
+    with pytest.raises(ValueError, match="unsupported"):
+        echo_pallas(r, "physical", 0.1)
+    if len(jax.devices()) >= 2:
+        with pytest.raises(ValueError, match="unsupported"):
+            echo_amplitudes_depth_sharded(r, make_mesh(1, 2), axis="ray",
+                                          mode="physical")

@@ -51,3 +51,24 @@ def test_service_volume_swap(svc):
     assert np.all(np.isfinite(np.asarray(frames)))
     with pytest.raises(ValueError, match="staged"):
         svc.update_volume(brain_phantom_3d((16, 16, 16)))
+
+
+def test_service_empty_batch(svc):
+    frames = svc.render(np.zeros((0, 3), np.float32))
+    assert frames.shape == (0, 8, 16)
+
+
+def test_service_respects_step():
+    vol = brain_phantom_3d((24, 24, 24))
+    geom_half = BeamGeometry(n_rays=4, num_samples=12,
+                             opening_angle=np.radians(40), step=0.5)
+    s = RendererService(vol, geom_half, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1,))
+    frames = s.render(np.array([12.0, 1.0, 12.0], np.float32))
+    want = render_frame(jnp.asarray(vol), jnp.array([12.0, 1.0, 12.0]),
+                        s.directions, 12, s.config, step=0.5)[3]
+    np.testing.assert_allclose(np.asarray(frames[0]), np.asarray(want), rtol=1e-6)
+    # and it differs from the step=1 render (the old silent-ignore bug)
+    full = render_frame(jnp.asarray(vol), jnp.array([12.0, 1.0, 12.0]),
+                        s.directions, 12, s.config)[3]
+    assert not np.allclose(np.asarray(frames[0]), np.asarray(full))
