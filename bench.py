@@ -34,6 +34,17 @@ TARGET_FPS = 1000.0
 
 def main():
     import jax
+
+    # Persistent compilation cache: remote (Mosaic/XLA) compiles through the
+    # tunnel can take minutes and the service is intermittently degraded —
+    # cache executables on disk so repeat runs skip compilation entirely.
+    try:
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from diffus_tpu.types import RenderConfig

@@ -91,6 +91,26 @@ def simulate_rays(
     return idx, r
 
 
+def simulate_frame(
+    volume: jax.Array,
+    source: jax.Array,
+    directions: jax.Array,
+    num_samples: int,
+    interp: str = "nearest",
+):
+    """Deprecated per-direction API (``src/renderer.py:73-87`` — the
+    reference itself deprecates it in favor of batched ``simulate_rays``).
+    Kept for API familiarity; equivalent to ``simulate_rays(...)[1]``."""
+    import warnings
+
+    warnings.warn(
+        "simulate_frame is deprecated; use simulate_rays (batched)",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return simulate_rays(volume, source, directions, num_samples, interp)[1]
+
+
 def mri_projection(
     volume: jax.Array,
     source: jax.Array,

@@ -242,3 +242,17 @@ def test_physical_reflection_mode_vs_oracle(rng):
     echo = echo_amplitudes_dense(r, rho=rho)
     want = echo * np.exp(-0.1 * np.arange(echo.shape[1]))[None, :]
     np.testing.assert_allclose(np.asarray(out), want, rtol=5e-3, atol=5e-4)
+
+
+def test_simulate_frame_deprecated_alias(rng):
+    import warnings
+
+    from diffus_tpu.render.renderer import simulate_frame, simulate_rays
+
+    vol, source, dirs = _scene(rng, n_rays=4)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        r = simulate_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 12)
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+    _, want = simulate_rays(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 12)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(want))
