@@ -256,3 +256,27 @@ def test_simulate_frame_deprecated_alias(rng):
     assert any(issubclass(w.category, DeprecationWarning) for w in caught)
     _, want = simulate_rays(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 12)
     np.testing.assert_allclose(np.asarray(r), np.asarray(want))
+
+
+def test_physical_mode_with_start_vs_oracle(rng):
+    from diffus_tpu.ops.reference_oracle import echo_amplitudes_dense
+    from diffus_tpu.ops.sampling import sample_nearest, ray_points
+
+    vol, source, dirs = _scene(rng)
+    start = 5
+    cfg = RenderConfig(attenuation_coeff=0.1, reflection_mode="physical", start=start)
+    out = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, cfg)[3]
+
+    pts = np.asarray(ray_points(jnp.asarray(source), jnp.asarray(dirs), 20))
+    _, z = sample_nearest(jnp.asarray(vol), jnp.asarray(pts))
+    z = np.asarray(z, dtype=np.float64)
+    r = (z[:, 1:] - z[:, :-1]) / (z[:, 1:] + z[:, :-1])
+    rho = -r * z[:, :-1] / z[:, 1:]
+    # start-slice both, torch-median patch each first column independently
+    r = r[:, start:].copy()
+    rho = rho[:, start:].copy()
+    r[:, 0] = np.sort(r[:, 0])[(len(r) - 1) // 2]
+    rho[:, 0] = np.sort(rho[:, 0])[(len(rho) - 1) // 2]
+    echo = echo_amplitudes_dense(r, rho=rho)
+    want = echo * np.exp(-0.1 * np.arange(echo.shape[1]))[None, :]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=5e-3, atol=5e-4)
