@@ -5,6 +5,8 @@ from diffus_tpu.geometry.affine import (
     transform_direction,
     mri_to_us_point,
     us_to_mri_point,
+    mri_to_us_slice,
+    us_to_mri_slice,
 )
 from diffus_tpu.geometry.fan import (
     fan_directions_2d,

@@ -63,3 +63,20 @@ def us_to_mri_point(i_us, j_us, slice_idx, us_affine, t1_affine):
     idx = jnp.asarray([slice_idx, i_us, j_us], dtype=jnp.float32)
     mri_f = transform_point(idx, us_affine, t1_affine)
     return jnp.round(mri_f).astype(jnp.int32)
+
+
+def mri_to_us_slice(i_mri, j_mri, slice_idx, t1_affine, us_vol, us_affine):
+    """Point mapping plus the corresponding US axial slice — the full
+    return shape of the reference's ``mri_to_us_point``
+    (``src/cone.py:21-38``: ``(us_slice, us_idx)`` with
+    ``us_slice = US_vol[:, :, k_us]``)."""
+    us_idx = mri_to_us_point(i_mri, j_mri, slice_idx, t1_affine, us_affine)
+    return us_vol[:, :, us_idx[2]], us_idx
+
+
+def us_to_mri_slice(i_us, j_us, slice_idx, us_affine, t1_vol, t1_affine):
+    """Point mapping plus the corresponding MRI slice
+    (``src/cone.py:40-59``: ``(mri_slice, mri_idx)`` with
+    ``mri_slice = T1_vol[k_mri, :, :]``)."""
+    mri_idx = us_to_mri_point(i_us, j_us, slice_idx, us_affine, t1_affine)
+    return t1_vol[mri_idx[0], :, :], mri_idx

@@ -119,3 +119,17 @@ def test_pose_fan_rotation():
     pose = TransducerPose.create([0, 0, 0], rotvec=[0.0, 0.0, np.pi / 2])
     d = np.asarray(pose_fan_directions(pose, geom))
     np.testing.assert_allclose(d[2], [-1.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_point_to_slice_mappings(rng):
+    from diffus_tpu.geometry import mri_to_us_slice, us_to_mri_slice
+
+    us_vol = jnp.asarray(rng.normal(size=(6, 7, 8)).astype(np.float32))
+    t1_vol = jnp.asarray(rng.normal(size=(6, 7, 8)).astype(np.float32))
+    eye = jnp.eye(4)
+    us_slice, us_idx = mri_to_us_slice(2, 3, 4, eye, us_vol, eye)
+    np.testing.assert_array_equal(np.asarray(us_idx), [2, 3, 4])
+    np.testing.assert_allclose(np.asarray(us_slice), np.asarray(us_vol[:, :, 4]))
+    mri_slice, mri_idx = us_to_mri_slice(3, 4, 2, eye, t1_vol, eye)
+    np.testing.assert_array_equal(np.asarray(mri_idx), [2, 3, 4])
+    np.testing.assert_allclose(np.asarray(mri_slice), np.asarray(t1_vol[2, :, :]))
