@@ -110,3 +110,28 @@ def test_kernel_and_depth_scan_reject_physical_mode(rng):
         with pytest.raises(ValueError, match="unsupported"):
             echo_amplitudes_depth_sharded(r, make_mesh(1, 2), axis="ray",
                                           mode="physical")
+
+
+def test_trilinear_rows2_bit_identical(rng):
+    from diffus_tpu.ops.sampling import sample_trilinear, sample_trilinear_rows2
+
+    vol = jnp.asarray(rng.normal(size=(9, 7, 11)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-2, 12, (5, 40, 3)).astype(np.float32))
+    _, a = sample_trilinear(vol, pts)
+    _, b = sample_trilinear_rows2(vol, pts)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # lane-127 boundary: z interpolation across a 128-multiple flat index
+    vol2 = jnp.asarray(rng.normal(size=(4, 4, 128)).astype(np.float32))
+    pts2 = jnp.asarray(
+        np.stack([np.full(10, 1.0), np.full(10, 2.0),
+                  np.linspace(125.2, 127.0, 10)], -1).astype(np.float32)
+    )
+    _, a2 = sample_trilinear(vol2, pts2)
+    _, b2 = sample_trilinear_rows2(vol2, pts2)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+    # gradients identical too
+    g1 = jax.grad(lambda p: jnp.sum(sample_trilinear(vol, p)[1] ** 2))(pts)
+    g2 = jax.grad(lambda p: jnp.sum(sample_trilinear_rows2(vol, p)[1] ** 2))(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)

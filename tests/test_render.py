@@ -280,3 +280,17 @@ def test_physical_mode_with_start_vs_oracle(rng):
     echo = echo_amplitudes_dense(r, rho=rho)
     want = echo * np.exp(-0.1 * np.arange(echo.shape[1]))[None, :]
     np.testing.assert_allclose(np.asarray(out), want, rtol=5e-3, atol=5e-4)
+
+
+def test_parity_at_reference_measured_config(rng):
+    """The reference's own benchmark config (128 rays x 100 samples,
+    [DEPR] fxiafixing_voxel_plot.ipynb cell 11) reproduced per-pixel
+    against the dense oracle on a phantom volume."""
+    vol = brain_phantom_3d((64, 64, 64))
+    source = np.array([32.0, 2.0, 32.0], dtype=np.float32)
+    dirs = np.asarray(fan_directions_2d([0.0, 1.0], np.radians(45), 128))
+    cfg = RenderConfig(attenuation_coeff=0.1)  # UltrasoundRenderer(100, 0.1)
+    out = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 100, cfg)[3]
+    want = render_frame_dense(vol, source, dirs, 100, 0.1, 0)[3]
+    assert out.shape == (128, 100)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=5e-3, atol=5e-4)
