@@ -246,6 +246,11 @@ def render_frame(
         # one sample; crop to the frame width for a consistent shape
         out = out[..., : num_samples - start]
 
+    if config.envelope:
+        from diffus_tpu.ops.bmode import rf_to_bmode
+
+        out = rf_to_bmode(out)
+
     if config.artifacts:
         from diffus_tpu.ops.artifacts import (
             add_speckle_arcs,

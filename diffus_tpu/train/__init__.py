@@ -17,6 +17,8 @@ from diffus_tpu.train.pose_recovery import (
     PoseRecoveryConfig,
     render_pose,
     recover_pose,
+    recover_pose_multistart,
+    sample_init_poses,
     recover_free,
 )
 from diffus_tpu.train.checkpoint import save_checkpoint, load_checkpoint

@@ -76,6 +76,43 @@ def recover_pose(
     return pose, losses
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def recover_pose_multistart(
+    volume, target_frame, init_poses: TransducerPose, cfg: PoseRecoveryConfig
+):
+    """Pose recovery from a batch of initializations, vmapped.
+
+    The render-MSE landscape is multi-modal (echoes are sparse spikes);
+    a single gradient descent converges to the nearest basin.  This runs
+    :func:`recover_pose` from ``B`` inits in parallel — one compiled
+    program, all descents batched on-device — and returns every
+    trajectory plus the index of the best final loss.
+
+    Args:
+      init_poses: a ``TransducerPose`` pytree with leading batch axis
+        ``B`` on both leaves (e.g. built with ``jax.vmap(
+        TransducerPose.create)`` or stacked).
+    Returns:
+      ``(poses, losses, best)``: batched final poses, ``(B, steps)``
+      loss trajectories, and the argmin index of the final losses.
+    """
+    poses, losses = jax.vmap(lambda p: recover_pose(volume, target_frame, p, cfg))(
+        init_poses
+    )
+    best = jnp.argmin(losses[:, -1])
+    return poses, losses, best
+
+
+def sample_init_poses(key, center, radius: float, rot_scale: float, count: int):
+    """Random pose inits around a center position: uniform position ball
+    + small random rotations — the standard multistart seeding."""
+    kp, kr = jax.random.split(key)
+    center = jnp.asarray(center, jnp.float32)
+    offsets = jax.random.uniform(kp, (count, 3), minval=-radius, maxval=radius)
+    rots = rot_scale * jax.random.normal(kr, (count, 3))
+    return TransducerPose(position=center[None] + offsets, rotvec=rots)
+
+
 @partial(jax.jit, static_argnames=("num_samples", "render", "lr", "steps"))
 def recover_free(
     volume,

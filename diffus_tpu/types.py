@@ -161,6 +161,9 @@ class RenderConfig:
     pulse_sigma: float = 1.0  # of the echo train (the optional stage the
                               # reference keeps commented at renderer.py:250;
                               # compute_gaussian_pulse, renderer.py:459-479)
+    envelope: bool = False  # Hilbert envelope + log1p compression of the
+                            # echo train (the alt B-mode chain,
+                            # [DEMO] Renderer Alternatives.ipynb cell 14)
     artifacts: bool = False
     std_radial: float = 0.01
     std_local: float = 0.15

@@ -294,3 +294,18 @@ def test_parity_at_reference_measured_config(rng):
     want = render_frame_dense(vol, source, dirs, 100, 0.1, 0)[3]
     assert out.shape == (128, 100)
     np.testing.assert_allclose(np.asarray(out), want, rtol=5e-3, atol=5e-4)
+
+
+def test_render_with_envelope_chain(rng):
+    from scipy.signal import hilbert
+
+    vol, source, dirs = _scene(rng, n_rays=4)
+    base = RenderConfig(attenuation_coeff=0.1)
+    env = RenderConfig(attenuation_coeff=0.1, envelope=True)
+    f0 = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, base)[3]
+    f1 = render_frame(jnp.asarray(vol), jnp.asarray(source), jnp.asarray(dirs), 20, env)[3]
+    assert f1.shape == f0.shape
+    want = np.log1p(np.abs(hilbert(np.asarray(f0, np.float64), axis=1)))
+    want = want / want.max()
+    np.testing.assert_allclose(np.asarray(f1), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(f1.max()), 1.0, rtol=1e-5)

@@ -249,3 +249,67 @@ def test_train_impedance_remat_matches():
     # and the render loss landscape amplifies)
     np.testing.assert_allclose(float(l0[0]), float(l1[0]), rtol=1e-6)
     assert np.all(np.isfinite(np.asarray(l1)))
+
+
+def test_pose_gradient_direction_matches_finite_differences():
+    """BASELINE acceptance criterion: pose-gradient directions through the
+    full render match central finite differences (cosine similarity)."""
+    _, z_true, src, dirs = _tiny_scene()
+    cfg = PoseRecoveryConfig(
+        geometry=BeamGeometry(n_rays=8, num_samples=20, opening_angle=np.radians(40)),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
+    target = render_pose(z_true, TransducerPose.create([12.0, 1.0, 12.0]), cfg)
+
+    def loss_at(pos, rot):
+        pose = TransducerPose(position=jnp.asarray(pos, jnp.float32),
+                              rotvec=jnp.asarray(rot, jnp.float32))
+        return float(jnp.mean((render_pose(z_true, pose, cfg) - target) ** 2))
+
+    pos0 = np.array([13.0, 2.0, 11.5], np.float64)
+    rot0 = np.array([0.02, -0.01, 0.04], np.float64)
+
+    g = jax.grad(
+        lambda p: jnp.mean(
+            (render_pose(z_true, TransducerPose(position=p[:3], rotvec=p[3:]), cfg)
+             - target) ** 2
+        )
+    )(jnp.asarray(np.concatenate([pos0, rot0]), jnp.float32))
+    g = np.asarray(g, np.float64)
+
+    eps = 1e-3
+    fd = np.zeros(6)
+    x0 = np.concatenate([pos0, rot0])
+    for i in range(6):
+        xp, xm = x0.copy(), x0.copy()
+        xp[i] += eps
+        xm[i] -= eps
+        fd[i] = (loss_at(xp[:3], xp[3:]) - loss_at(xm[:3], xm[3:])) / (2 * eps)
+
+    cos = float(np.dot(g, fd) / (np.linalg.norm(g) * np.linalg.norm(fd) + 1e-30))
+    assert cos > 0.95, f"gradient direction mismatch: cos={cos}, ad={g}, fd={fd}"
+
+
+def test_multistart_pose_recovery_beats_single():
+    from diffus_tpu.train import recover_pose_multistart, sample_init_poses
+
+    _, z_true, src, dirs = _tiny_scene()
+    cfg = PoseRecoveryConfig(
+        geometry=BeamGeometry(n_rays=8, num_samples=20, opening_angle=np.radians(40)),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+        lr=0.05, steps=40,
+    )
+    true_pose = TransducerPose.create([12.0, 1.0, 12.0])
+    target = render_pose(z_true, true_pose, cfg)
+    inits = sample_init_poses(jax.random.PRNGKey(3), [13.0, 2.0, 11.0],
+                              radius=2.0, rot_scale=0.05, count=4)
+    poses, losses, best = recover_pose_multistart(z_true, target, inits, cfg)
+    assert losses.shape == (4, 40)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    b = int(best)
+    # the selected start is at least as good as every other final loss
+    assert float(losses[b, -1]) == float(jnp.min(losses[:, -1]))
+    # and improves on its own initial loss
+    assert float(losses[b, -1]) < float(losses[b, 0])
+    best_pose = jax.tree_util.tree_map(lambda x: x[b], poses)
+    assert np.all(np.isfinite(np.asarray(best_pose.position)))
