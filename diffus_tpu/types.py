@@ -171,6 +171,14 @@ class RenderConfig:
     sharpen_alpha: float = 5.0
     dtype: str = "float32"
 
+    def __post_init__(self):
+        if self.interp not in ("nearest", "trilinear"):
+            raise ValueError(f"unknown interp {self.interp!r}")
+        if self.reflection_mode not in ("parity", "symmetric", "physical"):
+            raise ValueError(f"unknown reflection_mode {self.reflection_mode!r}")
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown dtype {self.dtype!r}")
+
     def start_index(self, num_samples: int) -> int:
         """Resolve the start skip exactly like plot_beam_frame
         (``src/renderer.py:237-241``): float -> int(start*num_samples),

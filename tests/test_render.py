@@ -309,3 +309,23 @@ def test_render_with_envelope_chain(rng):
     want = want / want.max()
     np.testing.assert_allclose(np.asarray(f1), want, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(f1.max()), 1.0, rtol=1e-5)
+
+
+def test_render_config_validation():
+    with pytest.raises(ValueError, match="interp"):
+        RenderConfig(interp="cubic")
+    with pytest.raises(ValueError, match="reflection_mode"):
+        RenderConfig(reflection_mode="bogus")
+    with pytest.raises(ValueError, match="dtype"):
+        RenderConfig(dtype="float16")
+
+
+def test_render_sweep_with_pallas_path(rng):
+    # pallas kernel under vmap (the sweep path bench.py can opt into)
+    vol, source, dirs = _scene(rng, n_rays=4)
+    sources = np.stack([source, source + 1.0]).astype(np.float32)
+    cfg_p = RenderConfig(attenuation_coeff=0.1, use_pallas=True)
+    cfg_x = RenderConfig(attenuation_coeff=0.1)
+    _, _, _, fp = render_sweep(jnp.asarray(vol), jnp.asarray(sources), jnp.asarray(dirs), 16, cfg_p)
+    _, _, _, fx = render_sweep(jnp.asarray(vol), jnp.asarray(sources), jnp.asarray(dirs), 16, cfg_x)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fx), rtol=1e-5, atol=1e-7)
