@@ -15,6 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's sitecustomize may have imported jax at interpreter
+# start (registering a remote TPU plugin) — jax then read JAX_PLATFORMS
+# before the assignment above.  Update the live config too, or the tests
+# silently run on the remote TPU (slow, and f32 FFT/reduction results
+# differ from the CPU oracles).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
