@@ -44,8 +44,11 @@ def _load():
         if _lib_tried:
             return _lib
         _lib_tried = True
-        if not os.path.exists(_SO_PATH) and os.path.exists(_SRC_PATH):
-            _build()
+        if os.path.exists(_SRC_PATH) and (
+            not os.path.exists(_SO_PATH)
+            or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
+        ):
+            _build()  # build (or rebuild a stale .so after source changes)
         if not os.path.exists(_SO_PATH):
             return None
         try:
@@ -74,6 +77,7 @@ def _load():
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int),
         ]
@@ -147,9 +151,21 @@ def load_nifti_batch(paths, threads: int = 0):
         vols = [load_nifti(p) for p in paths]
         return np.stack([v[0] for v in vols]), vols[0][1], vols[0][2]
 
-    first, affine, spacing = load_nifti_native(paths[0])
-    dims = first.shape
-    n = first.size
+    # probe the first file: its shape becomes the contract every file in
+    # the batch must match exactly (the C side gets the full int64[8]
+    # [ndim, d0..d6] and flags any deviation with status -6 — a smaller
+    # file would otherwise leave uninitialized tail data in its slot)
+    shape = (ctypes.c_int64 * 8)()
+    c_affine = (ctypes.c_float * 16)()
+    c_spacing = (ctypes.c_float * 3)()
+    rc = lib.nifti_probe(paths[0].encode(), shape, c_affine, c_spacing)
+    if rc <= 0:
+        raise ValueError(f"native NIfTI probe failed for {paths[0]!r} (code {rc})")
+    ndim = int(shape[0])
+    dims = tuple(int(shape[1 + i]) for i in range(ndim))
+    n = int(np.prod(dims))
+    affine = np.array(c_affine, dtype=np.float32).reshape(4, 4)
+    spacing = np.array(c_spacing, dtype=np.float32)
     count = len(paths)
     flat = np.empty((count, n), dtype=np.float32)
 
@@ -160,9 +176,13 @@ def load_nifti_batch(paths, threads: int = 0):
     lib.nifti_read_batch_f32(
         c_paths, count,
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        n, threads, status,
+        n, shape, threads, status,
     )
-    bad = [paths[i] for i in range(count) if status[i] <= 0]
+    bad = [
+        f"{paths[i]} (shape != {dims})" if status[i] == -6 else f"{paths[i]} (code {status[i]})"
+        for i in range(count)
+        if status[i] <= 0
+    ]
     if bad:
         raise ValueError(f"native batch decode failed for: {bad}")
     stack = np.ascontiguousarray(

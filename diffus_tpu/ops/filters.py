@@ -70,9 +70,12 @@ def gaussian_pulse(length: int, sigma: float) -> np.ndarray:
     """1D Gaussian transducer pulse, peak-normalized.
 
     Mirrors ``gaussian_pulse`` (``src/renderer.py:481-496``):
-    ``t = linspace(-length//2, length//2, length)``.
+    ``t = linspace(-length // 2, length // 2, length)`` — note Python's
+    floor division makes the grid ASYMMETRIC for odd lengths
+    ((-11)//2 = -6, so length 11 spans -6..5); parity keeps that quirk.
+    Reference defaults are even lengths, where both readings coincide.
     """
-    t = np.linspace(-(length // 2), length // 2, length)
+    t = np.linspace((-length) // 2, length // 2, length)
     pulse = np.exp(-0.5 * (t / sigma) ** 2)
     return (pulse / pulse.max()).astype(np.float32)
 

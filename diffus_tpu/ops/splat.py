@@ -40,11 +40,17 @@ def differentiable_splat(
 ) -> jax.Array:
     """Splat scattered samples onto a 2D image (differentiable in intensities).
 
-    Parity with ``differentiable_splat`` (``src/renderer.py:709-737``):
+    Mirrors ``differentiable_splat`` (``src/renderer.py:709-737``):
       - pixel indices: round + clamp (coord0 -> columns in [0, W-1],
         coord1 -> rows in [0, H-1]; note the reference clamps coord0 by W
         and coord1 by H exactly like this)
-      - scatter-add intensity and unit weight per sample
+      - scatter-add intensity and unit weight per sample.  DELIBERATE
+        DIVERGENCE: torch's ``image[idx1, idx0] += v`` is last-write-wins
+        on duplicate pixel indices (nondeterministic which sample lands;
+        fan rays converge near the apex so duplicates are common), whereas
+        ``.at[].add`` ACCUMULATES all contributions.  Accumulation is the
+        deterministic, gradient-correct semantics; the parity oracle
+        (np.add.at) encodes it intentionally.
       - blur both with a Gaussian kernel of size ``int(6*sigma) | 1``
         (zero-padded conv, torch ``F.conv2d`` semantics)
       - normalize: ``blurred_img / (blurred_weight + 1e-8)``

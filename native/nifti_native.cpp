@@ -277,15 +277,25 @@ int nifti_read_f32(const char* path, float* out, int64_t capacity,
 
 // Batch decode `count` equally-sized volumes with `threads` worker threads.
 // out is count * per_volume floats; status[i] receives per-file result.
+// expected_shape (int64[8] = [ndim, d0..d6], nullable) pins every file to
+// one shape: a smaller file would otherwise decode "successfully" leaving
+// the tail of its slot uninitialized, and a same-count/different-dims file
+// would silently reshape wrong.  Mismatches get status -6.
 void nifti_read_batch_f32(const char** paths, int count, float* out,
-                          int64_t per_volume, int threads, int* status) {
+                          int64_t per_volume, const int64_t* expected_shape,
+                          int threads, int* status) {
   if (threads < 1) threads = 1;
   std::vector<std::thread> pool;
-  std::vector<int> next(1, 0);
   auto worker = [&](int tid) {
     for (int i = tid; i < count; i += threads) {
+      int64_t shp[8] = {0, 0, 0, 0, 0, 0, 0, 0};
       status[i] = decode_one(paths[i], out + static_cast<int64_t>(i) * per_volume,
-                             per_volume, nullptr, nullptr, nullptr);
+                             per_volume, shp, nullptr, nullptr);
+      if (status[i] > 0 && expected_shape) {
+        bool ok = true;
+        for (int k = 0; k < 8 && ok; ++k) ok = shp[k] == expected_shape[k];
+        if (!ok) status[i] = -6;
+      }
     }
   };
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker, t);

@@ -168,8 +168,11 @@ def test_axial_blur_reference_semantics(rng):
 def test_gaussian_pulse_and_conv(rng):
     p = gaussian_pulse(15, 2.0)
     assert p.shape == (15,) and p.max() == 1.0
-    t = np.linspace(-7, 7, 15)
-    np.testing.assert_allclose(p, np.exp(-0.5 * (t / 2.0) ** 2), rtol=1e-5)
+    # reference semantics (renderer.py:494): linspace(-length // 2, length // 2)
+    # with Python floor division — ASYMMETRIC -8..7 for odd length 15
+    t = np.linspace(-8, 7, 15)
+    want = np.exp(-0.5 * (t / 2.0) ** 2)
+    np.testing.assert_allclose(p, want / want.max(), rtol=1e-5)
 
     echo = rng.normal(size=(3, 40)).astype(np.float32)
     out = np.asarray(convolve_pulse(jnp.asarray(echo), p))

@@ -64,6 +64,20 @@ def test_batch_decode(tmp_path, rng):
         np.testing.assert_array_equal(stack[i], vols[i])
 
 
+def test_batch_rejects_shape_mismatch(tmp_path, rng):
+    """A batch with one differently-shaped file must raise, not silently
+    corrupt the stack (smaller file -> uninitialized tail; same-count
+    different-dims -> wrong reshape)."""
+    shapes = [(6, 5, 4), (6, 5, 4), (5, 4, 3), (6, 5, 4), (4, 5, 6)]
+    paths = []
+    for i, shp in enumerate(shapes):
+        p = os.path.join(str(tmp_path), f"m{i}.nii.gz")
+        save_nifti(p, rng.normal(size=shp).astype(np.float32))
+        paths.append(p)
+    with pytest.raises(ValueError, match="shape"):
+        load_nifti_batch(paths, threads=2)
+
+
 def test_load_fast_fallback(tmp_path, rng):
     data = rng.normal(size=(4, 4, 4)).astype(np.float32)
     path = os.path.join(str(tmp_path), "f.nii")

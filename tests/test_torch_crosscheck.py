@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from diffus_tpu.ops.sampling import sample_trilinear
 from diffus_tpu.ops.propagation import echo_amplitudes
+from diffus_tpu.train.losses import ssim
 
 
 def test_trilinear_matches_torch_grid_sample(rng):
@@ -77,3 +78,45 @@ def test_scan_gradient_matches_torch_autograd(rng):
     g_torch = r_t.grad.numpy()
 
     np.testing.assert_allclose(g_jax, g_torch, rtol=1e-8, atol=1e-10)
+
+
+def _torch_ssim(x, y, kernel_size=11, sigma=1.5, data_range=1.0, k1=0.01, k2=0.03):
+    """Independent torch re-implementation of the Wang et al. SSIM with the
+    piq defaults (11x11 Gaussian, sigma 1.5, K1=0.01, K2=0.03, 'valid'
+    windowing, biased covariance) — piq itself is not installed in this
+    environment, so the constant conventions get confirmed against a
+    second implementation built on torch.conv2d rather than our jnp ops
+    (SURVEY section 7.4-6)."""
+    import torch.nn.functional as F
+
+    coords = torch.arange(kernel_size, dtype=torch.float64) - (kernel_size - 1) / 2
+    g = torch.exp(-(coords**2) / (2 * sigma**2))
+    g = g / g.sum()
+    kernel = torch.outer(g, g)[None, None]
+
+    x = (x / data_range)[None, None].double()
+    y = (y / data_range)[None, None].double()
+    mu_x = F.conv2d(x, kernel)
+    mu_y = F.conv2d(y, kernel)
+    sigma_x2 = F.conv2d(x * x, kernel) - mu_x**2
+    sigma_y2 = F.conv2d(y * y, kernel) - mu_y**2
+    sigma_xy = F.conv2d(x * y, kernel) - mu_x * mu_y
+    c1, c2 = k1 * k1, k2 * k2
+    ssim_map = ((2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)) / (
+        (mu_x**2 + mu_y**2 + c1) * (sigma_x2 + sigma_y2 + c2)
+    )
+    return float(ssim_map.mean())
+
+
+@pytest.mark.parametrize("noise", [0.0, 0.05, 0.4])
+def test_ssim_matches_torch_implementation(rng, noise):
+    base = rng.uniform(0, 1, size=(48, 64)).astype(np.float32)
+    # smooth it a bit so SSIM is not trivially ~0
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) / 3
+    other = np.clip(base + noise * rng.normal(size=base.shape), 0, 1).astype(np.float32)
+
+    ours = float(ssim(jnp.asarray(base), jnp.asarray(other)))
+    want = _torch_ssim(torch.from_numpy(base), torch.from_numpy(other))
+    assert abs(ours - want) < 1e-5, f"ssim {ours} vs torch {want} (noise={noise})"
+    if noise == 0.0:
+        assert abs(ours - 1.0) < 1e-6
