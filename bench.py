@@ -150,16 +150,18 @@ def main():
     fps = POSE_BATCH * SWEEP_ITERS / dt
 
     # --- training-mode (trilinear) throughput, same headline shapes ---
+    # readback-timed: the auto-chunked sweep (lax.map) defeats
+    # block_until_ready through the execution relay (reports fantasy fps)
     tri_config = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
     tri_sweep = jax.jit(
         lambda v, s, d: render_sweep(v, s, d, NUM_SAMPLES, tri_config)[3]
     )
-    tri_sweep(volume, source_sets[0], directions).block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(TRILINEAR_ITERS):
-        frames = tri_sweep(volume, source_sets[i + 1], directions)
-    frames.block_until_ready()
-    trilinear_fps = POSE_BATCH * TRILINEAR_ITERS / (time.perf_counter() - t0)
+    tri_ms = _readback_time_ms(
+        tri_sweep,
+        [(volume, source_sets[i], directions) for i in range(TRILINEAR_ITERS + 1)],
+        n=TRILINEAR_ITERS,
+    )
+    trilinear_fps = POSE_BATCH / tri_ms * 1e3
 
     # --- one impedance training step (BASELINE config 3; 128^3 volume) ---
     dim, rays, samples = 128, 256, 256

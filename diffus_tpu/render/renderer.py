@@ -302,6 +302,25 @@ def render_bmode(
     return splat_frame((x, y, z), intensities, axes, image_shape, sigma)
 
 
+def _sweep_chunk(pose_batch: int, config: RenderConfig) -> int:
+    """Default pose-chunk size for :func:`render_sweep`.
+
+    Measured on v5e (docs/benchmarking.md): the trilinear 8-corner
+    row-gather makes XLA materialize ~80 MB of gather intermediates *per
+    pose*, and beyond ~8 poses per compiled vmap the temp working set
+    (2.6 GB at 32 poses) collapses throughput 3-4x (12.0 -> 3.8 ms/frame
+    when chunked by 8).  Nearest is unaffected.  Returns the largest
+    divisor of ``pose_batch`` that is <= 8 for trilinear-mode sweeps,
+    else ``pose_batch`` (no chunking).
+    """
+    if config.interp.startswith("trilinear") and pose_batch > 8:
+        for c in (8, 7, 6, 5, 4, 3, 2):
+            if pose_batch % c == 0:
+                return c
+        return 1
+    return pose_batch
+
+
 def render_sweep(
     volume: jax.Array,
     sources: jax.Array,
@@ -310,12 +329,16 @@ def render_sweep(
     config: RenderConfig = _DEFAULT_CONFIG,
     keys: Optional[jax.Array] = None,
     step: float = 1.0,
+    chunk: Optional[int] = None,
 ):
     """Batched multi-pose sweep: vmap of :func:`render_frame` over poses.
 
     The TPU-native version of the reference's per-pose Python loop
     (``[DEPR] fix_propagation_full_transmission.ipynb`` cells 14-17, the
-    animation workload).
+    animation workload).  Large trilinear sweeps are processed in pose
+    chunks (sequential ``lax.map`` of vmapped sub-batches) to bound XLA's
+    gather-intermediate working set — see :func:`_sweep_chunk`; pass
+    ``chunk`` to override (``chunk=P`` disables chunking).
 
     Args:
       sources: ``(P, 3)``; directions: ``(P, n_rays, 3)`` or shared
@@ -323,13 +346,43 @@ def render_sweep(
     Returns:
       ``(x, y, z, frames)`` with a leading pose axis.
     """
+    pose_batch = sources.shape[0]
     if directions.ndim == 2:
         directions = jnp.broadcast_to(
-            directions[None], (sources.shape[0],) + directions.shape
+            directions[None], (pose_batch,) + directions.shape
         )
-    fn = lambda s, d, k: render_frame(volume, s, d, num_samples, config, k, step)
+    if chunk is None:
+        chunk = _sweep_chunk(pose_batch, config)
+    chunk = max(1, min(chunk, pose_batch))
+    if pose_batch % chunk:
+        chunk = pose_batch  # non-divisible override: fall back to one vmap
+
     if keys is None:
-        return jax.vmap(
+        inner = jax.vmap(
             lambda s, d: render_frame(volume, s, d, num_samples, config, step=step)
-        )(sources, directions)
-    return jax.vmap(fn)(sources, directions, keys)
+        )
+        if chunk == pose_batch:
+            return inner(sources, directions)
+        out = jax.lax.map(
+            lambda args: inner(*args),
+            (
+                sources.reshape(pose_batch // chunk, chunk, 3),
+                directions.reshape((pose_batch // chunk, chunk) + directions.shape[1:]),
+            ),
+        )
+        return tuple(o.reshape((pose_batch,) + o.shape[2:]) for o in out)
+
+    inner_k = jax.vmap(
+        lambda s, d, k: render_frame(volume, s, d, num_samples, config, k, step)
+    )
+    if chunk == pose_batch:
+        return inner_k(sources, directions, keys)
+    out = jax.lax.map(
+        lambda args: inner_k(*args),
+        (
+            sources.reshape(pose_batch // chunk, chunk, 3),
+            directions.reshape((pose_batch // chunk, chunk) + directions.shape[1:]),
+            keys.reshape((pose_batch // chunk, chunk) + keys.shape[1:]),
+        ),
+    )
+    return tuple(o.reshape((pose_batch,) + o.shape[2:]) for o in out)

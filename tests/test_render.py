@@ -329,3 +329,39 @@ def test_render_sweep_with_pallas_path(rng):
     _, _, _, fp = render_sweep(jnp.asarray(vol), jnp.asarray(sources), jnp.asarray(dirs), 16, cfg_p)
     _, _, _, fx = render_sweep(jnp.asarray(vol), jnp.asarray(sources), jnp.asarray(dirs), 16, cfg_x)
     np.testing.assert_allclose(np.asarray(fp), np.asarray(fx), rtol=1e-5, atol=1e-7)
+
+
+def test_render_sweep_chunked_matches_unchunked(rng):
+    """Trilinear sweeps auto-chunk beyond 8 poses (v5e working-set fix);
+    the chunked path must be bit-compatible with one big vmap, including
+    the keyed-artifacts variant and the non-divisible fallback."""
+    vol, source, dirs = _scene(rng, n_rays=4)
+    cfg = RenderConfig(attenuation_coeff=0.1, interp="trilinear")
+    sources = jnp.asarray(
+        np.stack([source + np.array([0.0, 0.3 * i, 0.0]) for i in range(16)]).astype(
+            np.float32
+        )
+    )
+    out_auto = render_sweep(jnp.asarray(vol), sources, jnp.asarray(dirs), 16, cfg)
+    out_full = render_sweep(
+        jnp.asarray(vol), sources, jnp.asarray(dirs), 16, cfg, chunk=16
+    )
+    for a, b in zip(out_auto, out_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # keyed (artifacts) path
+    acfg = RenderConfig(attenuation_coeff=0.1, interp="trilinear", artifacts=True)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    _, _, _, f_auto = render_sweep(
+        jnp.asarray(vol), sources, jnp.asarray(dirs), 16, acfg, keys=keys
+    )
+    _, _, _, f_full = render_sweep(
+        jnp.asarray(vol), sources, jnp.asarray(dirs), 16, acfg, keys=keys, chunk=16
+    )
+    np.testing.assert_allclose(np.asarray(f_auto), np.asarray(f_full), rtol=1e-6)
+
+    # non-divisible pose count falls back to one vmap and still matches
+    out7 = render_sweep(jnp.asarray(vol), sources[:7], jnp.asarray(dirs), 16, cfg, chunk=3)
+    out7_full = render_sweep(jnp.asarray(vol), sources[:7], jnp.asarray(dirs), 16, cfg, chunk=7)
+    for a, b in zip(out7, out7_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
