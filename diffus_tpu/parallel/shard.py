@@ -23,6 +23,20 @@ from diffus_tpu.impedance.mlp import impedance_slice_zscore
 from diffus_tpu.train.losses import masked_mse_edge_loss
 
 
+def _pad_axis(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    """Pad ``axis`` up to the next multiple by repeating the last slice
+    (rendering a duplicated pose/ray is wasted-but-valid work, unlike
+    zeros, which would produce degenerate zero-direction rays)."""
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if not pad:
+        return x
+    last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+    reps = [1] * x.ndim
+    reps[axis] = pad
+    return jnp.concatenate([x, jnp.tile(last, reps)], axis=axis)
+
+
 def sharded_render_sweep(
     mesh: Mesh,
     volume: jax.Array,
@@ -35,12 +49,24 @@ def sharded_render_sweep(
     over ``ray``; the volume is replicated (a 256^3 f32 volume is 64 MB —
     comfortably replicable in HBM).
 
+    Non-divisible sizes are handled by PADDING: pose and ray counts that
+    don't divide their mesh axis are padded (repeating the last
+    pose/ray), rendered sharded, and sliced back — callers never see the
+    padding.  This is the documented contract (PARITY.md, "sharding
+    contract"); the training step, by contrast, refuses non-divisible
+    batches because silently padding scenes would change the mean loss.
+
     Returns device-sharded ``(x, y, z, frames)`` with a leading pose axis.
     """
+    n_pose, n_ray = sources.shape[0], directions.shape[-2]
     if directions.ndim == 2:
         directions = jnp.broadcast_to(
-            directions[None], (sources.shape[0],) + directions.shape
+            directions[None], (n_pose,) + directions.shape
         )
+    pose_m, ray_m = mesh.shape["pose"], mesh.shape["ray"]
+    sources = _pad_axis(sources, 0, pose_m)
+    directions = _pad_axis(_pad_axis(directions, 0, pose_m), 1, ray_m)
+
     vol_s = jax.device_put(volume, NamedSharding(mesh, P()))
     src_s = jax.device_put(sources, NamedSharding(mesh, P("pose")))
     dir_s = jax.device_put(directions, NamedSharding(mesh, P("pose", "ray")))
@@ -49,7 +75,10 @@ def sharded_render_sweep(
         lambda v, s, d: render_sweep(v, s, d, num_samples, config),
         static_argnames=(),
     )
-    return fn(vol_s, src_s, dir_s)
+    out = fn(vol_s, src_s, dir_s)
+    if sources.shape[0] != n_pose or directions.shape[1] != n_ray:
+        out = tuple(o[:n_pose, :n_ray] for o in out)
+    return out
 
 
 def make_sharded_train_step(mesh: Mesh, cfg, hidden=(32, 32), lr: float = 0.01):
@@ -106,8 +135,21 @@ def make_sharded_train_step(mesh: Mesh, cfg, hidden=(32, 32), lr: float = 0.01):
 
 def shard_batch(mesh: Mesh, batch):
     """Place a training batch on the mesh: scene axis over ``pose``, ray
-    axis (where present) over ``ray``."""
+    axis (where present) over ``ray``.
+
+    Non-divisible batch/ray counts are an ERROR here (unlike the sweep's
+    padding contract): padding scenes would silently change the mean
+    loss and the gradient.  Resize the batch or the mesh.
+    """
     t1, targets, masks, sources, directions = batch
+    b, r = t1.shape[0], directions.shape[1]
+    pose_m, ray_m = mesh.shape["pose"], mesh.shape["ray"]
+    if b % pose_m or r % ray_m:
+        raise ValueError(
+            f"training batch (scenes={b}, rays={r}) must divide the mesh "
+            f"(pose={pose_m}, ray={ray_m}); padding is not applied to "
+            "training batches because it would change the mean loss"
+        )
     put = jax.device_put
     return (
         put(t1, NamedSharding(mesh, P("pose"))),

@@ -28,22 +28,65 @@ def test_mesh_construction():
     assert mesh.shape["pose"] * mesh.shape["ray"] == 8
 
 
-def test_sharded_sweep_matches_single_device():
+@pytest.mark.parametrize("pose_m,ray_m", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_sweep_matches_single_device(pose_m, ray_m):
     vol = jnp.asarray(brain_phantom_3d((24, 24, 24)))
     rng = np.random.default_rng(0)
     sources = jnp.asarray(
         np.array([12.0, 1.0, 12.0], np.float32)[None]
-        + rng.uniform(-1, 1, (4, 3)).astype(np.float32)
+        + rng.uniform(-1, 1, (8, 3)).astype(np.float32)
     )
     dirs = fan_directions_2d([0.0, 1.0], np.radians(40), 8)
     cfg = RenderConfig(attenuation_coeff=1e-4)
 
-    mesh = make_mesh(2, 4)
+    mesh = make_mesh(pose_m, ray_m)
     _, _, _, sharded = sharded_render_sweep(mesh, vol, sources, dirs, 16, cfg)
     _, _, _, single = render_sweep(vol, sources, dirs, 16, cfg)
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("n_pose,n_rays", [(5, 8), (4, 6), (3, 5)])
+def test_sharded_sweep_pads_non_divisible(n_pose, n_rays):
+    """Pose/ray counts that don't divide the mesh axes are padded and
+    sliced back — the result must equal the single-device render of the
+    ORIGINAL (unpadded) inputs (PARITY.md sharding contract)."""
+    vol = jnp.asarray(brain_phantom_3d((24, 24, 24)))
+    rng = np.random.default_rng(1)
+    sources = jnp.asarray(
+        np.array([12.0, 1.0, 12.0], np.float32)[None]
+        + rng.uniform(-1, 1, (n_pose, 3)).astype(np.float32)
+    )
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40), n_rays)
+    cfg = RenderConfig(attenuation_coeff=1e-4)
+
+    mesh = make_mesh(2, 4)
+    xs, ys, zs, sharded = sharded_render_sweep(mesh, vol, sources, dirs, 16, cfg)
+    x1, y1, z1, single = render_sweep(vol, sources, dirs, 16, cfg)
+    assert sharded.shape == single.shape == (n_pose, n_rays, 16)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x1))
+
+
+def test_shard_batch_rejects_non_divisible(rng):
+    """Training batches must divide the mesh exactly — padding scenes
+    would change the mean loss, so it's an error, not a silent pad."""
+    from diffus_tpu.parallel import shard_batch
+
+    mesh = make_mesh(2, 4)
+    dim, rays, samples, B = 8, 8, 6, 3  # B=3 does not divide pose=2
+    batch = (
+        jnp.zeros((B, dim, dim, dim)),
+        jnp.zeros((B, rays, samples)),
+        jnp.ones((B, rays, samples), bool),
+        jnp.zeros((B, 3)),
+        jnp.zeros((B, rays, 3)),
+    )
+    with pytest.raises(ValueError, match="divide the mesh"):
+        shard_batch(mesh, batch)
 
 
 def test_dryrun_multichip_entry():
@@ -96,9 +139,11 @@ def test_depth_sharded_scan_strong_reflectors(rng):
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
 
 
-def test_sharded_train_step_matches_single_device(rng):
+@pytest.mark.parametrize("pose_m,ray_m", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_sharded_train_step_matches_single_device(rng, pose_m, ray_m):
     """The GSPMD-sharded training step must produce the same loss and
-    parameter update as an unsharded evaluation of the same batch."""
+    parameter update as an unsharded evaluation of the same batch, on
+    every 8-device mesh factorization."""
     import optax
     from diffus_tpu.types import RenderConfig
     from diffus_tpu.train.impedance_train import ImpedanceTrainConfig
@@ -107,7 +152,7 @@ def test_sharded_train_step_matches_single_device(rng):
     from diffus_tpu.render.renderer import render_frame
     from diffus_tpu.train.losses import masked_mse_edge_loss
 
-    dim, rays, samples, B = 16, 8, 12, 4
+    dim, rays, samples, B = 16, 8, 12, 8
     cfg = ImpedanceTrainConfig(
         num_samples=samples, slice_index=dim // 2, loss="masked_mse_edge",
         render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
@@ -138,7 +183,7 @@ def test_sharded_train_step_matches_single_device(rng):
     updates, _ = tx.update(grads_ref, tx.init(params), params)
     params_ref = optax.apply_updates(params, updates)
 
-    mesh = make_mesh(2, 4)
+    mesh = make_mesh(pose_m, ray_m)
     with mesh:
         step_fn, init_opt = make_sharded_train_step(mesh, cfg)
         batch = shard_batch(mesh, (t1, targets, masks, sources, dirs))
