@@ -78,6 +78,25 @@ def cone_us_to_mri(apex_us_vox, direction_2d, us_affine, t1_affine):
     return apex_t1, d2
 
 
+def us_to_mri_beam_scale(direction_2d, us_affine, t1_affine) -> jax.Array:
+    """MRI voxels traversed per US pixel along the beam direction.
+
+    Physically correct mapping (unlike ``cone_us_to_mri``'s direction
+    formula, which preserves the reference's ``R_t1 @ inv(R_us)`` quirk,
+    ``src/cone.py:187-209``): one US pixel along ``direction_2d`` is
+    ``R_us @ d`` millimetres in world space, i.e.
+    ``inv(R_t1) @ R_us @ d`` MRI voxels.  Used to wire
+    ``BeamGeometry.step`` so a ``d1..d2`` US-pixel depth window marches
+    the correct physical distance through the MRI volume.
+    """
+    d3 = jnp.concatenate(
+        [jnp.asarray(direction_2d, jnp.float32), jnp.zeros((1,), jnp.float32)]
+    )
+    r_us = jnp.asarray(us_affine, jnp.float32)[:3, :3]
+    r_t1 = jnp.asarray(t1_affine, jnp.float32)[:3, :3]
+    return jnp.linalg.norm(jnp.linalg.inv(r_t1) @ (r_us @ d3))
+
+
 def cone_mask(shape, apex, direction_2d, opening_angle: float) -> jax.Array:
     """Boolean mask of pixels inside the fan cone.
 

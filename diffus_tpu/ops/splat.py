@@ -129,20 +129,35 @@ def rotate_around_apex(x, z, apex, median, lateral_offset: float = 128.0):
     return x_rot, z_rot
 
 
-def rasterize_fan_host(x_coords, z_coords, intensities, output_shape=(256, 256)):
+def rasterize_fan_host(
+    x_coords, z_coords, intensities, output_shape=(256, 256), parity_grid=False
+):
     """Host-side scattered->grid interpolation (non-differentiable).
 
-    Mirrors ``rasterize_fan`` (``src/renderer.py:626-653``) which uses
-    scipy ``griddata`` on a grid built from the scattered coords
-    themselves.  Kept for API completeness; the differentiable splat is
-    the production path.
+    Mirrors ``rasterize_fan`` (``src/renderer.py:626-653``): scipy
+    ``griddata`` linear interpolation of the fan samples.  By default the
+    target is a regular ``output_shape`` grid spanning the samples'
+    bounding box — O(H*W) memory, usable at full frame size.
+
+    ``parity_grid=True`` reproduces the reference's quirk verbatim: the
+    grid is ``meshgrid`` over the scattered coordinates *themselves*
+    (every x paired with every z — N^2 pixels for N samples, unusable
+    beyond toy sizes; ``output_shape`` is ignored, as in the reference).
+    The differentiable splat is the production path either way.
     """
     from scipy.interpolate import griddata
 
     x = np.asarray(x_coords).ravel()
     z = np.asarray(z_coords).ravel()
     v = np.asarray(intensities).ravel()
-    grid_x, grid_z = np.meshgrid(x, z)
+    if parity_grid:
+        grid_x, grid_z = np.meshgrid(x, z)
+    else:
+        h, w = output_shape
+        grid_x, grid_z = np.meshgrid(
+            np.linspace(x.min(), x.max(), w),
+            np.linspace(z.min(), z.max(), h),
+        )
     return griddata(
         points=np.stack((x, z), axis=-1),
         values=v,

@@ -122,3 +122,45 @@ def t1_phantom_3d(shape=(64, 64, 64)) -> np.ndarray:
     t1[z == CSF_Z] = 2500.0
     t1[z == BONE_Z] = 525.0
     return t1
+
+
+# cardiac acoustic impedances (MRayl * 1e6): blood 1.61, myocardium ~1.69
+# (muscle), infarct/scar stiffer ~1.75, lung ~0.18, chest-wall fat 1.34
+BLOOD_Z = 1.61e6
+MYOCARDIUM_Z = 1.69e6
+INFARCT_Z = 1.75e6
+LUNG_Z = 0.18e6
+FAT_Z = 1.34e6
+
+
+def heart_phantom_3d(shape=(64, 64, 64), infarct: bool = True) -> np.ndarray:
+    """Cardiac phantom in the EMIDEC layout: a blood-filled LV cavity
+    inside a myocardial shell, optional transmural infarct sector, lungs
+    either side, fat chest wall at the transducer face.
+
+    The reference's heart-MRI config ships only the EMIDEC dataset README
+    (``additional_data/heart_MRI/emidec-dataset-1.0.1/Readme.txt``:
+    background / myocardium / cavity / infarction / no-reflow labels);
+    this phantom reproduces those structures so the cross-modality runner
+    (``examples/ct_render.py --modality heart``) has a synthetic stand-in.
+    """
+    d, h, w = shape
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, d), np.linspace(-1, 1, h), np.linspace(-1, 1, w),
+        indexing="ij", sparse=True,
+    )
+    vol = np.full(shape, LUNG_Z, dtype=np.float32)
+    # chest wall: fat layer at the near (y=0) face
+    wall = int(0.08 * h)
+    vol[:, :max(wall, 1), :] = FAT_Z
+    # myocardial shell: ellipsoid annulus around the cavity
+    r2 = xx**2 / 0.55**2 + (yy - 0.1) ** 2 / 0.6**2 + zz**2 / 0.55**2
+    myo = r2 <= 1.0
+    cav = r2 <= 0.45
+    vol[myo] = MYOCARDIUM_Z
+    vol[cav] = BLOOD_Z
+    if infarct:
+        # transmural sector of the shell (the 'P' cases): x>0, z>0 wedge
+        sector = myo & ~cav & (xx + 0 * yy + 0 * zz > 0.15) & (zz + 0 * xx + 0 * yy > 0.0)
+        vol[sector] = INFARCT_Z
+    return vol

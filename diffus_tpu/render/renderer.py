@@ -29,7 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from diffus_tpu.types import RenderConfig
+from diffus_tpu.types import RenderConfig, Volume
 from diffus_tpu.ops.propagation import (
     reflection_coeff,
     echo_amplitudes,
@@ -189,7 +189,10 @@ def render_frame(
       and ``intensities`` the attenuated (optionally artifacted) echo map.
 
     Args:
-      volume: ``(D, H, W)`` acoustic impedance volume.
+      volume: ``(D, H, W)`` acoustic impedance volume, or a
+        :class:`~diffus_tpu.types.Volume` (its ``data`` is rendered; use
+        :func:`frame_time_delays` with its ``spacing`` for mm-true echo
+        timing).
       source: ``(3,)`` apex position in voxel coordinates.
       directions: ``(n_rays, 3)`` unit ray directions.
       num_samples: static depth-sample count.
@@ -200,6 +203,8 @@ def render_frame(
       step: voxel units per depth sample (``BeamGeometry.step``;
         reference uses 1.0).
     """
+    if isinstance(volume, Volume):
+        volume = volume.data
     if config.dtype == "bfloat16":
         # serving mode: bf16 volume halves the gather bandwidth (the
         # bottleneck); the scan stays f32.  ~4e-3 relative error on
@@ -270,6 +275,40 @@ def render_frame(
     y = idx[:, start:, 1]
     z = idx[:, start:, 2]
     return x, y, z, out
+
+
+def frame_time_delays(
+    spacing,
+    directions: jax.Array,
+    num_samples: int,
+    config: RenderConfig = _DEFAULT_CONFIG,
+    step: float = 1.0,
+    c: float = 1.54e3,
+):
+    """Per-ray two-way echo time delays for a rendered frame, mm-true.
+
+    The reference returns ``delays_us = 2 * spacing * arange(N+1) / c``
+    from ``compute_echo_traces`` (``src/renderer.py:455-457``) with a
+    scalar ``spacing`` — i.e. it assumes isotropic voxels and unit steps.
+    Here the physical length of one depth step is direction-dependent for
+    anisotropic voxels: ``step * ||direction * spacing||`` mm, so each ray
+    gets its own delay axis.  Delays are indexed relative to the start
+    window, like the reference's.
+
+    Args:
+      spacing: ``(3,)`` voxel spacing in mm (``Volume.spacing``), or a
+        scalar for isotropic volumes.
+      directions: ``(n_rays, 3)`` unit ray directions (voxel space).
+    Returns:
+      ``(n_rays, num_samples - start)`` delays in the reference's units
+      (microseconds when spacing is in mm and c in m/s, matching
+      ``src/renderer.py:455``).
+    """
+    spacing = jnp.broadcast_to(jnp.asarray(spacing, jnp.float32), (3,))
+    mm_per_step = step * jnp.linalg.norm(directions * spacing[None, :], axis=-1)
+    start = config.start_index(num_samples)
+    idx = jnp.arange(num_samples - start, dtype=jnp.float32)
+    return 2.0 * mm_per_step[:, None] * idx[None, :] / c
 
 
 @partial(jax.jit, static_argnames=("num_samples", "config", "image_shape", "sigma", "axes"))

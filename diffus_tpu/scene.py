@@ -16,13 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffus_tpu.types import BeamGeometry, RenderConfig
+from diffus_tpu.types import BeamGeometry, RenderConfig, Volume
 from diffus_tpu.geometry.calibration import (
     ConeCalibration,
     apex_and_direction_from_edges,
     cone_us_to_mri,
     cone_mask,
     cone_segment_mask,
+    us_to_mri_beam_scale,
 )
 from diffus_tpu.geometry.fan import fan_directions_2d
 
@@ -40,14 +41,37 @@ class Scene:
     d1: float = 0.0
     d2: float = 0.0
 
-    def render(self, volume, config: RenderConfig = RenderConfig(), key=None):
-        from diffus_tpu.render.renderer import render_frame
+    def render(
+        self,
+        volume,
+        config: RenderConfig = RenderConfig(),
+        key=None,
+        return_delays: bool = False,
+    ):
+        """Render the scene's frame.
 
-        return render_frame(
+        ``volume`` may be a raw ``(D, H, W)`` array or a
+        :class:`~diffus_tpu.types.Volume`; with ``return_delays=True`` a
+        fifth element is appended: per-ray mm-true two-way echo delays
+        (reference ``compute_echo_traces``'s ``delays_us``,
+        ``src/renderer.py:455-457``), computed from ``Volume.spacing``
+        (unit spacing for raw arrays) and the scene's ``step``.
+        """
+        from diffus_tpu.render.renderer import render_frame, frame_time_delays
+
+        out = render_frame(
             volume, self.source, self.directions,
             self.geometry.num_samples, config, key,
             step=self.geometry.step,
         )
+        if not return_delays:
+            return out
+        spacing = volume.spacing if isinstance(volume, Volume) else 1.0
+        delays = frame_time_delays(
+            spacing, self.directions, self.geometry.num_samples, config,
+            step=self.geometry.step,
+        )
+        return out + (delays,)
 
 
 def build_scene_from_edges(
@@ -80,6 +104,9 @@ def build_scene_from_edges(
         apex_us, jnp.asarray(cal.direction, jnp.float32), us_affine, t1_affine
     )
     directions = fan_directions_2d(dir_mri, cal.opening_angle, n_rays, plane=fan_plane)
+    # one depth step spans one US pixel: convert that length to MRI voxels
+    # so the d1..d2 US-pixel window marches the right physical distance
+    step = float(us_to_mri_beam_scale(cal.direction, us_affine, t1_affine))
 
     us_mask = None
     if us_slice_shape is not None:
@@ -90,6 +117,7 @@ def build_scene_from_edges(
         n_rays=n_rays,
         num_samples=max(int(d2), 2),
         opening_angle=float(cal.opening_angle),
+        step=step,
     )
     return Scene(
         source=apex_mri,

@@ -24,13 +24,18 @@ from diffus_tpu.impedance import (
     default_table_points,
     tabular_impedance_volume,
 )
-from diffus_tpu.phantoms import ct_lung_phantom_3d, transcranial_phantom_3d, t1_phantom_3d
+from diffus_tpu.phantoms import (
+    ct_lung_phantom_3d,
+    transcranial_phantom_3d,
+    t1_phantom_3d,
+    heart_phantom_3d,
+)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--modality", default="ct",
-                    choices=["ct", "ct-crude", "transcranial", "mri"])
+                    choices=["ct", "ct-crude", "transcranial", "mri", "heart"])
     ap.add_argument("--volume", default=None, help="optional NIfTI/np volume")
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--rays", type=int, default=200)   # CT notebook config
@@ -46,6 +51,10 @@ def main():
         raw = ct_lung_phantom_3d((args.size,) * 3)
     elif args.modality == "transcranial":
         raw = transcranial_phantom_3d((args.size,) * 3)
+    elif args.modality == "heart":
+        # EMIDEC-layout cardiac phantom (the reference's heart_MRI config
+        # ships only the dataset README)
+        raw = heart_phantom_3d((args.size,) * 3)
     else:
         raw = t1_phantom_3d((args.size,) * 3)
 
@@ -54,7 +63,7 @@ def main():
         z_vol = schneider_webb_impedance(raw)          # Schneider + Webb fit
     elif args.modality == "ct-crude":
         z_vol = crude_ct_impedance(raw)                # closed-form model
-    elif args.modality == "transcranial":
+    elif args.modality in ("transcranial", "heart"):
         z_vol = raw                                    # already impedance
     else:
         tx, ty = default_table_points()

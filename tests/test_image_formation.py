@@ -181,3 +181,23 @@ def test_gaussian_pulse_and_conv(rng):
         np.correlate(np.pad(e, 7), p, mode="valid") for e in echo
     ])
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rasterize_fan_host_output_shape(rng):
+    """The usable variant honors output_shape on a regular grid; the
+    parity_grid quirk reproduces the reference's meshgrid-over-points
+    (renderer.py:643) with its N^2 size."""
+    from diffus_tpu.ops.splat import rasterize_fan_host
+
+    n = 24
+    x = rng.uniform(0, 30, n).astype(np.float32)
+    z = rng.uniform(0, 50, n).astype(np.float32)
+    v = rng.uniform(0, 1, n).astype(np.float32)
+
+    img = rasterize_fan_host(x, z, v, output_shape=(40, 32))
+    assert img.shape == (40, 32)
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+
+    quirk = rasterize_fan_host(x, z, v, parity_grid=True)
+    assert quirk.shape == (n, n)

@@ -365,3 +365,24 @@ def test_render_sweep_chunked_matches_unchunked(rng):
     out7_full = render_sweep(jnp.asarray(vol), sources[:7], jnp.asarray(dirs), 16, cfg, chunk=7)
     for a, b in zip(out7, out7_full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_heart_phantom_renders():
+    """EMIDEC-layout cardiac phantom (heart-MRI config, BASELINE config 5):
+    structures present and the frame shows the myocardium/blood interface."""
+    from diffus_tpu.phantoms import (
+        heart_phantom_3d, BLOOD_Z, MYOCARDIUM_Z, INFARCT_Z, LUNG_Z, FAT_Z,
+    )
+
+    vol = heart_phantom_3d((32, 32, 32))
+    present = set(np.unique(vol))
+    assert {BLOOD_Z, MYOCARDIUM_Z, INFARCT_Z, LUNG_Z, FAT_Z} <= present
+    # no-infarct variant (the EMIDEC 'N' cases)
+    assert INFARCT_Z not in set(np.unique(heart_phantom_3d((32, 32, 32), infarct=False)))
+
+    src = jnp.array([16.0, 1.0, 16.0])
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(50), 16)
+    cfg = RenderConfig(attenuation_coeff=1e-4)
+    _, _, _, frame = render_frame(jnp.asarray(vol), src, dirs, 28, cfg)
+    assert np.all(np.isfinite(np.asarray(frame)))
+    assert float(jnp.max(jnp.abs(frame))) > 0.05  # strong cardiac interfaces

@@ -115,3 +115,73 @@ def test_viz_aligned_and_3d(rng):
     assert len(axes) == 2
     ax = plot_volume_3d(rng.uniform(0, 1, (8, 8, 8)), threshold=0.7)
     assert ax is not None
+
+
+def test_scene_step_wired_from_affines():
+    """One depth step spans one US pixel, converted to MRI voxels via the
+    affines: 0.5mm US pixels / 1mm MRI voxels -> step 0.5."""
+    from diffus_tpu.scene import build_scene_from_edges
+
+    us_affine = np.diag([0.5, 0.5, 0.5, 1.0]).astype(np.float32)
+    t1_affine = np.eye(4, dtype=np.float32)
+    scene = build_scene_from_edges(
+        m_left=1.0, b_left=0.0, m_right=-1.0, b_right=200.0,
+        us_affine=us_affine, t1_affine=t1_affine, slice_idx=10,
+        n_rays=8, d1=0.0, d2=32.0,
+    )
+    assert abs(scene.geometry.step - 0.5) < 1e-5
+    # identity-to-identity stays at the reference's implicit step of 1
+    scene1 = build_scene_from_edges(
+        m_left=1.0, b_left=0.0, m_right=-1.0, b_right=200.0,
+        us_affine=np.eye(4, dtype=np.float32), t1_affine=np.eye(4, dtype=np.float32),
+        slice_idx=10, n_rays=8, d1=0.0, d2=32.0,
+    )
+    assert abs(scene1.geometry.step - 1.0) < 1e-5
+
+
+def test_scene_render_volume_and_delays():
+    """Scene.render accepts a Volume and can return mm-true echo delays
+    (reference src/renderer.py:455-457 returns delays_us; here per-ray,
+    anisotropy-aware)."""
+    from diffus_tpu.scene import build_scene_from_edges
+    from diffus_tpu.types import Volume
+    from diffus_tpu.render.renderer import render_frame
+    from diffus_tpu.phantoms import brain_phantom_3d
+
+    vol_arr = brain_phantom_3d((24, 24, 24))
+    spacing = np.array([0.5, 0.5, 2.0], np.float32)
+    volume = Volume.from_array(vol_arr, spacing=spacing)
+    scene = build_scene_from_edges(
+        m_left=1.0, b_left=0.0, m_right=-1.0, b_right=20.0,
+        us_affine=np.eye(4, dtype=np.float32), t1_affine=np.eye(4, dtype=np.float32),
+        slice_idx=12, n_rays=6, d1=0.0, d2=16.0,
+    )
+    cfg = RenderConfig(attenuation_coeff=1e-4)
+    x, y, z, frame, delays = scene.render(volume, cfg, return_delays=True)
+    assert delays.shape == frame.shape
+
+    # Volume and raw-array renders agree
+    _, _, _, frame_raw = render_frame(
+        jnp.asarray(vol_arr), scene.source, scene.directions,
+        scene.geometry.num_samples, cfg, step=scene.geometry.step,
+    )
+    np.testing.assert_allclose(np.asarray(frame), np.asarray(frame_raw), rtol=1e-6)
+
+    # delays: 2 * i * step * ||dir * spacing|| / c, per ray
+    dirs = np.asarray(scene.directions)
+    mm = scene.geometry.step * np.linalg.norm(dirs * spacing[None, :], axis=-1)
+    want = 2.0 * mm[:, None] * np.arange(frame.shape[1])[None, :] / 1.54e3
+    np.testing.assert_allclose(np.asarray(delays), want, rtol=1e-5)
+
+
+def test_frame_time_delays_reference_scalar_parity():
+    """Isotropic spacing + unit directions reduce to the reference's
+    delays_us = 2 * spacing * arange(n) / c (src/renderer.py:455)."""
+    from diffus_tpu.render.renderer import frame_time_delays
+    from diffus_tpu.ops.propagation import echo_time_delays
+
+    dirs = jnp.asarray(np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]], np.float32))
+    got = frame_time_delays(0.7, dirs, 12, RenderConfig(attenuation_coeff=0.1))
+    want = np.asarray(echo_time_delays(12, spacing=0.7))
+    for r in range(2):
+        np.testing.assert_allclose(np.asarray(got[r]), want, rtol=1e-6)
