@@ -71,6 +71,15 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.nifti_write_f32.restype = ctypes.c_int
+        lib.nifti_write_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
         lib.nifti_read_batch_f32.restype = None
         lib.nifti_read_batch_f32.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -189,3 +198,40 @@ def load_nifti_batch(paths, threads: int = 0):
         flat.reshape((count,) + dims[::-1]).transpose((0,) + tuple(range(len(dims), 0, -1)))
     )
     return stack, affine, spacing
+
+
+def save_nifti_native(path: str, data, affine=None) -> None:
+    """Native-write a float32 NIfTI-1 file (.nii, or gzipped when the
+    path ends in .gz) — identical layout to
+    :func:`diffus_tpu.io.nifti.save_nifti`'s float32 branch (sform
+    affine, Fortran voxel order).  Raises ``RuntimeError`` when the
+    native library is unavailable; :func:`save_nifti_fast` falls back.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native NIfTI library unavailable")
+    arr = np.asfortranarray(np.asarray(data, dtype=np.float32))
+    if affine is None:
+        affine = np.eye(4, dtype=np.float32)
+    aff = np.ascontiguousarray(np.asarray(affine, dtype=np.float32)).reshape(16)
+    shape = (ctypes.c_int64 * arr.ndim)(*arr.shape)
+    flat = arr.ravel(order="F")
+    rc = lib.nifti_write_f32(
+        str(path).encode(),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        arr.ndim,
+        shape,
+        aff.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1 if str(path).endswith(".gz") else 0,
+    )
+    if rc <= 0:
+        raise ValueError(f"native NIfTI write failed for {path!r} (code {rc})")
+
+
+def save_nifti_fast(path: str, data, affine=None) -> None:
+    """Native write with transparent fallback to the Python writer."""
+    if native_available():
+        return save_nifti_native(path, data, affine)
+    from diffus_tpu.io.nifti import save_nifti
+
+    return save_nifti(path, data, affine)

@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 nifti_native.cpp -o libnifti_native.so -lz -lpthread
 
+#include <algorithm>
 #include <cstdint>
 #include <cmath>
 #include <cstdio>
@@ -300,6 +301,75 @@ void nifti_read_batch_f32(const char** paths, int count, float* out,
   };
   for (int t = 0; t < threads; ++t) pool.emplace_back(worker, t);
   for (auto& th : pool) th.join();
+}
+
+// Write a minimal single-file NIfTI-1 (.nii / gzipped) with an sform
+// affine — float32 voxels, Fortran element order (mirrors the Python
+// writer diffus_tpu/io/nifti.py save_nifti).  Returns 1, or a negative
+// error code (-1 open/write failure, -2 bad args, -7 zlib failure).
+int nifti_write_f32(const char* path, const float* data, int ndim,
+                    const int64_t* shape, const float* affine, int compress) {
+  if (!path || !data || ndim < 1 || ndim > 7 || !shape) return -2;
+  int64_t n = 1;
+  for (int i = 0; i < ndim; ++i) {
+    if (shape[i] < 1) return -2;
+    n *= shape[i];
+  }
+
+  std::vector<unsigned char> hdr(352, 0);
+  auto put_i32 = [&](size_t off, int32_t v) { std::memcpy(&hdr[off], &v, 4); };
+  auto put_i16 = [&](size_t off, int16_t v) { std::memcpy(&hdr[off], &v, 2); };
+  auto put_f32 = [&](size_t off, float v) { std::memcpy(&hdr[off], &v, 4); };
+
+  put_i32(0, 348);
+  put_i16(40, static_cast<int16_t>(ndim));
+  for (int i = 0; i < 7; ++i)
+    put_i16(42 + 2 * i, static_cast<int16_t>(i < ndim ? shape[i] : 1));
+  put_i16(70, 16);  // DT_FLOAT32
+  put_i16(72, 32);  // bitpix
+  put_f32(76, 1.0f);
+  for (int c = 0; c < 3; ++c) {
+    // pixdim from the affine's column norms, like the Python writer
+    float s = 0.0f;
+    if (affine)
+      for (int r = 0; r < 3; ++r) s += affine[r * 4 + c] * affine[r * 4 + c];
+    put_f32(80 + 4 * c, affine ? std::sqrt(s) : 1.0f);
+  }
+  for (int i = 4; i < 8; ++i) put_f32(76 + 4 * i, 1.0f);
+  put_f32(108, 352.0f);  // vox_offset
+  put_f32(112, 1.0f);    // scl_slope
+  put_f32(116, 0.0f);    // scl_inter
+  put_i16(252, 0);       // qform_code
+  put_i16(254, 1);       // sform_code
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 4; ++c)
+      put_f32(280 + 16 * r + 4 * c,
+              affine ? affine[r * 4 + c] : (r == c ? 1.0f : 0.0f));
+  hdr[344] = 'n'; hdr[345] = '+'; hdr[346] = '1'; hdr[347] = 0;
+
+  const unsigned char* body = reinterpret_cast<const unsigned char*>(data);
+  size_t body_bytes = static_cast<size_t>(n) * 4;
+
+  if (compress) {
+    gzFile gz = gzopen(path, "wb");
+    if (!gz) return -1;
+    if (gzwrite(gz, hdr.data(), 352) != 352) { gzclose(gz); return -7; }
+    size_t written = 0;
+    while (written < body_bytes) {
+      unsigned chunk = static_cast<unsigned>(
+          std::min<size_t>(body_bytes - written, 1u << 28));
+      int rc = gzwrite(gz, body + written, chunk);
+      if (rc <= 0) { gzclose(gz); return -7; }
+      written += static_cast<size_t>(rc);
+    }
+    return gzclose(gz) == Z_OK ? 1 : -7;
+  }
+
+  FILE* fh = std::fopen(path, "wb");
+  if (!fh) return -1;
+  bool ok = std::fwrite(hdr.data(), 1, 352, fh) == 352 &&
+            std::fwrite(body, 1, body_bytes, fh) == body_bytes;
+  return std::fclose(fh) == 0 && ok ? 1 : -1;
 }
 
 }  // extern "C"

@@ -84,3 +84,31 @@ def test_load_fast_fallback(tmp_path, rng):
     save_nifti(path, data)
     d, _, _ = load_nifti_fast(path)
     np.testing.assert_array_equal(d, data)
+
+
+def test_native_writer_roundtrips(tmp_path, rng):
+    """Native write -> python read AND python write -> native read agree
+    byte-for-byte on voxels and affine (.nii and .nii.gz)."""
+    from diffus_tpu.io.native import save_nifti_native
+
+    data = rng.normal(size=(7, 6, 5)).astype(np.float32)
+    affine = np.array(
+        [[0.5, 0, 0, -3], [0, 0.7, 0, 2], [0, 0, 0.9, 1], [0, 0, 0, 1]], np.float32
+    )
+    for name in ("w.nii", "w.nii.gz"):
+        path = os.path.join(str(tmp_path), name)
+        save_nifti_native(path, data, affine)
+        d_py, a_py, s_py = load_nifti(path)
+        np.testing.assert_array_equal(d_py, data)
+        np.testing.assert_allclose(a_py, affine, rtol=1e-6)
+        d_nat, a_nat, _ = load_nifti_native(path)
+        np.testing.assert_array_equal(d_nat, data)
+        np.testing.assert_allclose(a_nat, affine, rtol=1e-6)
+
+    # native-written bytes must equal the python writer's exactly
+    p_nat = os.path.join(str(tmp_path), "eq_nat.nii")
+    p_py = os.path.join(str(tmp_path), "eq_py.nii")
+    save_nifti_native(p_nat, data, affine)
+    save_nifti(p_py, data, affine)
+    with open(p_nat, "rb") as f1, open(p_py, "rb") as f2:
+        assert f1.read() == f2.read()
