@@ -26,6 +26,7 @@ matplotlib = pytest.importorskip("matplotlib")
 matplotlib.use("Agg")
 pytest.importorskip("tqdm")  # the reference module imports it at top level
 
+import jax
 import jax.numpy as jnp
 
 from diffus_tpu.types import RenderConfig
@@ -35,33 +36,50 @@ from diffus_tpu.phantoms import brain_phantom_3d
 from diffus_tpu.ops.reference_oracle import render_frame_dense
 
 REF_SRC = "/root/reference/src"
-_REF_CACHE = []
+_REF_CACHE = {}
 
 
-def _get_ref():
-    """Import the reference renderer module itself (skip when absent)."""
-    if not _REF_CACHE:
+def _get_mod(name: str):
+    """Import a reference module (renderer / cone / utils); skip when absent."""
+    if name not in _REF_CACHE:
         if not os.path.isdir(REF_SRC):
             pytest.skip(f"reference checkout not present at {REF_SRC}")
         sys.path.insert(0, REF_SRC)
+        # nibabel is not installed here (this repo's NIfTI IO is
+        # hand-rolled); cone.py imports it at top level but none of the
+        # functions under test touch it — stub it so the module loads
+        if "nibabel" not in sys.modules:
+            import types
+
+            sys.modules["nibabel"] = types.ModuleType("nibabel")
         try:
-            import renderer as ref_mod
+            import importlib
+
+            mod = importlib.import_module(name)
         except Exception as e:  # missing dep in a stripped env
-            pytest.skip(f"reference renderer not importable: {e}")
+            pytest.skip(f"reference module {name!r} not importable: {e}")
         finally:
             sys.path.remove(REF_SRC)
-        ref_mod.plt.show = lambda *a, **k: None  # headless
-        # The sampler's visualize branch (renderer.py:762-801) is display-only
-        # but CRASHES on fractional start (float slice at :774) — disable it
-        # so the shipped compute path itself runs; outputs are unaffected.
+        if hasattr(mod, "plt"):
+            mod.plt.show = lambda *a, **k: None  # headless
+        _REF_CACHE[name] = mod
+    return _REF_CACHE[name]
+
+
+def _get_ref():
+    """The reference renderer module, with its display-only sampler
+    visualization disabled (the branch at renderer.py:762-801 CRASHES on
+    fractional start — float slice at :774; outputs are unaffected)."""
+    ref_mod = _get_mod("renderer")
+    if not getattr(ref_mod, "_diffus_no_viz", False):
         orig_sampler = ref_mod.custom_nearest_sampler
 
         def _no_viz_sampler(Z, points, visualize=True, sampler="prop", start=100):
             return orig_sampler(Z, points, visualize=False, sampler=sampler, start=start)
 
         ref_mod.custom_nearest_sampler = _no_viz_sampler
-        _REF_CACHE.append(ref_mod)
-    return _REF_CACHE[0]
+        ref_mod._diffus_no_viz = True
+    return ref_mod
 
 
 def _reference_frame(ref, vol, src, dirs, num_samples, att, start):
@@ -116,3 +134,238 @@ def test_plot_beam_frame_parity_three_way(n_rays, start):
     _, _, _, oracle = render_frame_dense(vol, src, dirs, num_samples, att, start_idx)
     err_oracle = np.max(np.abs(oracle - r_out)) / scale
     assert err_oracle < 1e-6, f"oracle vs reference: max rel err {err_oracle}"
+
+
+# ---------------------------------------------------------------------------
+# Stage-level parity: each deterministic reference function executed directly
+# ---------------------------------------------------------------------------
+
+
+def test_artifact_stack_matches_reference():
+    ref = _get_ref()
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (24, 30)).astype(np.float32)
+
+    from diffus_tpu.ops.artifacts import (
+        sharpen, depth_dependent_lateral_blur, radial_falloff, add_shadow,
+        depth_dependent_axial_blur,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(sharpen(jnp.asarray(img), alpha=2.5)),
+        ref.sharpen_np(img, alpha=2.5), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(depth_dependent_lateral_blur(jnp.asarray(img), max_sigma=3.0)),
+        ref.add_depth_dependent_lateral_blur_np(torch.from_numpy(img), max_sigma=3.0).numpy(),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(radial_falloff(jnp.asarray(img), attenuation_min=0.4, power=3.0)),
+        ref.radial_falloff_np(img, attenuation_min=0.4, power=3.0),
+        rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(add_shadow(jnp.asarray(img), center_ray=10, width=3, strength=0.25)),
+        ref.add_shadow_np(img, center_ray=10, width=3, strength=0.25),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(depth_dependent_axial_blur(jnp.asarray(img), max_kernel=9)),
+        ref.add_depth_dependent_axial_blur_np(img, max_kernel=9),
+        rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("length,sigma", [(10, 1.0), (11, 2.0), (20, 4.0), (15, 3.0)])
+def test_gaussian_pulse_matches_reference(length, sigma):
+    from diffus_tpu.ops.filters import gaussian_pulse
+
+    ref = _get_ref()
+    np.testing.assert_allclose(
+        gaussian_pulse(length, sigma), ref.gaussian_pulse(length, sigma), rtol=1e-6
+    )
+
+
+def test_solver_and_pulse_conv_match_reference():
+    """echo_amplitudes (one associative scan) vs the reference's N+1 dense
+    solves + cumsum + diff, and the full compute_gaussian_pulse chain."""
+    ref = _get_ref()
+    rng = np.random.default_rng(4)
+    r = rng.uniform(-0.6, 0.6, (3, 14)).astype(np.float64)
+
+    from diffus_tpu.ops.propagation import echo_amplitudes, echo_time_delays
+    from diffus_tpu.ops.filters import gaussian_pulse, convolve_pulse
+
+    want_echo, want_delays = ref.compute_echo_traces(torch.from_numpy(r))
+    with jax.enable_x64():
+        got_echo = np.asarray(echo_amplitudes(jnp.asarray(r)))
+    np.testing.assert_allclose(got_echo, want_echo.numpy(), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(echo_time_delays(want_delays.shape[0])), want_delays.numpy(),
+        rtol=1e-6)
+
+    want_conv = ref.compute_gaussian_pulse(torch.from_numpy(r), length=10, sigma=2)
+    got_conv = convolve_pulse(jnp.asarray(got_echo), gaussian_pulse(10, 2.0))
+    np.testing.assert_allclose(
+        np.asarray(got_conv), want_conv.numpy(), rtol=1e-6, atol=1e-9)
+
+
+def test_splat_matches_reference_on_duplicate_free_coords():
+    """torch's += is last-write-wins on duplicate pixels (documented
+    divergence) — on duplicate-FREE coords both splats must agree."""
+    ref = _get_ref()
+    rng = np.random.default_rng(5)
+    # unique rounded pixels: a jittered grid; x spans wider than z so the
+    # variance ordering (and hence the reference's axis pick) is x, z
+    gx, gz = np.meshgrid(np.arange(2, 30, 2), np.arange(6, 24, 2))
+    x = (gx + rng.uniform(-0.3, 0.3, gx.shape)).ravel().astype(np.float32)
+    z = (gz + rng.uniform(-0.3, 0.3, gz.shape)).ravel().astype(np.float32)
+    y = np.full_like(x, 7.0)  # lowest variance axis -> dropped by the reference
+    v = rng.uniform(0, 1, x.shape).astype(np.float32)
+
+    want = ref.differentiable_splat(
+        torch.from_numpy(x), torch.from_numpy(y), torch.from_numpy(z),
+        torch.from_numpy(v), H=32, W=32, sigma=2.0,
+    ).numpy()
+
+    from diffus_tpu.ops.splat import differentiable_splat, highest_variance_axes
+
+    a0, a1 = highest_variance_axes(x, y, z)
+    assert (a0, a1) == (0, 2)  # the reference's variance-based pick
+    coords = [x, y, z]
+    got = np.asarray(differentiable_splat(
+        jnp.asarray(coords[a0]), jnp.asarray(coords[a1]), jnp.asarray(v),
+        height=32, width=32, sigma=2.0,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rotate_around_apex_matches_reference():
+    ref = _get_ref()
+    rng = np.random.default_rng(6)
+    x = rng.uniform(100, 160, 40).astype(np.float32)
+    z = rng.uniform(0, 50, 40).astype(np.float32)
+
+    from diffus_tpu.ops.splat import rotate_around_apex
+
+    for median in ((0.0, 1.0), (0.6, 0.8), (-0.3, 0.95)):
+        wx, wz = ref.rotate_around_apex(
+            torch.from_numpy(x), torch.from_numpy(z), apex=(12.0, 34.0), median=median
+        )
+        gx, gz = rotate_around_apex(jnp.asarray(x), jnp.asarray(z), (12.0, 34.0), median)
+        np.testing.assert_allclose(np.asarray(gx), wx.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gz), wz.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_rasterize_fan_matches_reference():
+    ref = _get_ref()
+    rng = np.random.default_rng(7)
+    n = 30
+    x = rng.uniform(0, 20, n).astype(np.float64)
+    z = rng.uniform(0, 40, n).astype(np.float64)
+    v = rng.uniform(0, 1, n).astype(np.float64)
+
+    from diffus_tpu.ops.splat import rasterize_fan_host
+
+    want = ref.rasterize_fan(x, z, v)
+    got = rasterize_fan_host(x, z, v, parity_grid=True)
+    np.testing.assert_allclose(got, want, rtol=1e-8, equal_nan=True)
+
+
+def test_cone_geometry_matches_reference():
+    cone = _get_mod("cone")
+    rng = np.random.default_rng(8)
+    affine_us = np.array(
+        [[0.5, 0.02, 0, -20], [0.01, 0.55, 0, 4], [0, 0, 0.6, -7], [0, 0, 0, 1]],
+        np.float64,
+    )
+    affine_t1 = np.array(
+        [[1.0, 0, 0.05, -12], [0, 0.9, 0, 8], [0.02, 0, 1.1, -3], [0, 0, 0, 1]],
+        np.float64,
+    )
+
+    from diffus_tpu.geometry.affine import voxel_to_world, world_to_voxel
+    from diffus_tpu.geometry.calibration import (
+        apex_and_direction_from_edges, cone_us_to_mri, cone_mask,
+    )
+    from diffus_tpu.geometry.fan import fan_directions_2d
+
+    # voxel <-> world round trips
+    for _ in range(5):
+        p = rng.uniform(0, 50, 3)
+        np.testing.assert_allclose(
+            np.asarray(voxel_to_world(jnp.asarray(p, jnp.float32),
+                                      jnp.asarray(affine_us, jnp.float32))),
+            cone.voxel_to_world(p, affine_us), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(world_to_voxel(jnp.asarray(p, jnp.float32),
+                                      jnp.asarray(affine_t1, jnp.float32))),
+            cone.world_to_voxel(p, affine_t1), rtol=1e-4, atol=1e-4)
+
+    # apex / opening angle / bisector from edge lines
+    want = cone.compute_us_apex_and_direction(1.2, -10.0, -0.9, 200.0)
+    cal = apex_and_direction_from_edges(1.2, -10.0, -0.9, 200.0)
+    np.testing.assert_allclose(cal.apex, want["apex"], rtol=1e-6)
+    np.testing.assert_allclose(cal.opening_angle, want["opening_angle"], rtol=1e-6)
+    np.testing.assert_allclose(cal.direction, want["direction_vector"], rtol=1e-6)
+
+    # US -> MRI apex/direction transform (incl. the reference's
+    # R_t1 @ inv(R_us) convention)
+    apex_us = np.array([30.0, 40.0, 12.0])
+    w_apex, w_dir = cone.cone_us_to_mri_world(
+        apex_us, np.asarray(want["direction_vector"]), affine_us, affine_t1
+    )
+    g_apex, g_dir = cone_us_to_mri(
+        jnp.asarray(apex_us, jnp.float32), jnp.asarray(cal.direction, jnp.float32),
+        affine_us.astype(np.float32), affine_t1.astype(np.float32),
+    )
+    np.testing.assert_allclose(np.asarray(g_apex), w_apex, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_dir), w_dir, rtol=1e-4, atol=1e-4)
+
+    # fan directions
+    want_dirs = cone.generate_cone_directions(
+        np.asarray(want["direction_vector"]), 0.7, 15
+    ).numpy()
+    got_dirs = np.asarray(fan_directions_2d(cal.direction, 0.7, 15))
+    np.testing.assert_allclose(got_dirs, want_dirs, rtol=1e-5, atol=1e-6)
+
+    # cone pixel mask
+    sl = rng.uniform(0, 1, (40, 50))
+    want_mask = cone.overlay_cone(sl, want["apex"], want["direction_vector"], 0.7)
+    got_mask = np.asarray(cone_mask((40, 50), cal.apex, cal.direction, 0.7))
+    np.testing.assert_array_equal(got_mask, want_mask)
+
+
+def test_brain_mask_and_zscore_match_reference():
+    utils = _get_mod("utils")
+    rng = np.random.default_rng(9)
+    vol = (rng.uniform(0, 200, (12, 13, 14)) * (rng.uniform(0, 1, (12, 13, 14)) > 0.3)).astype(np.float32)
+
+    from diffus_tpu.impedance.preproc import brain_mask, zscore_normalize
+
+    want_mask = utils.create_brain_mask(vol, threshold=50).numpy()
+    got_mask = np.asarray(brain_mask(jnp.asarray(vol), threshold=50.0))
+    np.testing.assert_array_equal(got_mask, want_mask)
+
+    want_norm = utils.zscore_normalize(
+        torch.from_numpy(vol), torch.from_numpy(want_mask)
+    ).numpy()
+    got_norm = np.asarray(zscore_normalize(jnp.asarray(vol), jnp.asarray(got_mask)))
+    np.testing.assert_allclose(got_norm, want_norm, rtol=1e-4, atol=1e-5)
+
+
+def test_mri_us_point_mapping_matches_reference():
+    cone = _get_mod("cone")
+    rng = np.random.default_rng(10)
+    t1_vol = rng.uniform(0, 1, (20, 22, 24))
+    us_vol = rng.uniform(0, 1, (18, 20, 26))
+    t1_aff = np.diag([0.9, 1.1, 1.0, 1.0]); t1_aff[:3, 3] = (1.0, -2.0, 3.0)
+    us_aff = np.diag([1.2, 0.8, 0.95, 1.0]); us_aff[:3, 3] = (0.5, 1.5, -1.0)
+
+    from diffus_tpu.geometry.affine import mri_to_us_slice, us_to_mri_slice
+
+    want_slice, want_idx = cone.mri_to_us_point(5, 6, 7, t1_vol, t1_aff, us_vol, us_aff)
+    got_slice, got_idx = mri_to_us_slice(5, 6, 7, t1_aff, us_vol, us_aff)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+    np.testing.assert_allclose(np.asarray(got_slice), want_slice, rtol=1e-6)
+
+    want_slice, want_idx = cone.us_to_mri_point(4, 5, 6, us_vol, us_aff, t1_vol, t1_aff)
+    got_slice, got_idx = us_to_mri_slice(4, 5, 6, us_aff, t1_vol, t1_aff)
+    np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
+    np.testing.assert_allclose(np.asarray(got_slice), want_slice, rtol=1e-6)
