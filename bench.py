@@ -59,11 +59,14 @@ def _enable_compilation_cache(jax):
 def _readback(x):
     """Block via host readback: `block_until_ready` alone can under-report
     through the execution relay (CLAUDE.md), so secondary metrics sync by
-    pulling one scalar back per call (~24ms overhead, included)."""
+    pulling ONE SCALAR back per call (~27ms overhead, included).  The
+    reduction happens on-device — pulling a whole frames array through
+    the tunnel would add ~12ms of transfer per call."""
     import jax
+    import jax.numpy as jnp
 
     leaves = jax.tree_util.tree_leaves(x)
-    return float(np.asarray(leaves[0]).ravel().sum()) if leaves else 0.0
+    return float(jnp.sum(leaves[0])) if leaves else 0.0
 
 
 def _readback_time_ms(fn, args_list, n):
@@ -124,29 +127,42 @@ def main():
     )
     assert parity_err < 1e-3, f"parity check failed: {parity_err}"
 
+    # --- relay sync overhead (subtracted from readback-closed timings) ---
+    # `block_until_ready` through the execution relay can RETURN EARLY
+    # (observed: a 32-pose sweep "timed" at 983k fps); every timed loop
+    # below therefore closes with one host readback, which reliably
+    # drains the queue, and the cost of that single sync is measured
+    # here and subtracted.
+    trivial = jax.jit(lambda s: jnp.sum(s))
+    float(trivial(singles[0]))
+    t0 = time.perf_counter()
+    for i in range(4):
+        float(trivial(singles[i + 1]))
+    sync_s = (time.perf_counter() - t0) / 4
+
     # --- single-frame latency (unique inputs per call) ---
     _, _, _, f = render_frame(volume, singles[0], directions, NUM_SAMPLES, config)
-    f.block_until_ready()
+    float(jnp.sum(f))
     t0 = time.perf_counter()
     n_single = 20
     for i in range(n_single):
         _, _, _, f = render_frame(
             volume, singles[i + 1], directions, NUM_SAMPLES, config
         )
-    f.block_until_ready()
-    single_ms = (time.perf_counter() - t0) / n_single * 1e3
+    float(jnp.sum(f))
+    single_ms = (time.perf_counter() - t0 - sync_s) / n_single * 1e3
 
     # --- batched throughput (multi-pose sweep, the serving workload) ---
     sweep = jax.jit(
         lambda v, s, d: render_sweep(v, s, d, NUM_SAMPLES, config)[3]
     )
     frames = sweep(volume, source_sets[0], directions)
-    frames.block_until_ready()
+    float(jnp.sum(frames))
     t0 = time.perf_counter()
     for i in range(SWEEP_ITERS):
         frames = sweep(volume, source_sets[i + 1], directions)
-    frames.block_until_ready()
-    dt = time.perf_counter() - t0
+    float(jnp.sum(frames))
+    dt = time.perf_counter() - t0 - sync_s
     fps = POSE_BATCH * SWEEP_ITERS / dt
 
     # --- training-mode (trilinear) throughput, same headline shapes ---
