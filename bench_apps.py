@@ -25,9 +25,13 @@ def _readback_time(fn, args_list, n=6):
 
 def jax_block(x):
     import jax
+    import jax.numpy as jnp
 
+    # on-device reduction, then one scalar pull: block_until_ready is
+    # unreliable through the relay, and host-pulling whole arrays adds
+    # ~12 ms/call of transfer (docs/benchmarking.md)
     leaves = jax.tree_util.tree_leaves(x)
-    return float(np.asarray(leaves[0]).ravel()[0]) if leaves else 0.0
+    return float(jnp.sum(leaves[0])) if leaves else 0.0
 
 
 def main():
