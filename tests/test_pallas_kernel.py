@@ -135,3 +135,16 @@ def test_trilinear_rows2_bit_identical(rng):
     g1 = jax.grad(lambda p: jnp.sum(sample_trilinear(vol, p)[1] ** 2))(pts)
     g2 = jax.grad(lambda p: jnp.sum(sample_trilinear_rows2(vol, p)[1] ** 2))(pts)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+
+def test_gather_dma_probe_correctness(rng):
+    """The row-DMA probe (the megakernel negative-result measurement,
+    docs/benchmarking.md) gathers exactly the rows XLA's take does —
+    interpreter mode on CPU."""
+    from diffus_tpu.kernels.gather_dma_probe import dma_gather_probe, xla_take_probe
+
+    table = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    off = jnp.asarray(np.array([5], np.int32))
+    got = dma_gather_probe(off, table, n_rows=48, n_buf=4)
+    want = xla_take_probe(off, table, n_rows=48)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want), rtol=1e-5)
