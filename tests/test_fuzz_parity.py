@@ -1,0 +1,71 @@
+"""Randomized parity sweep: render_frame vs the dense float64 oracle.
+
+The targeted parity tests pin specific configs; this sweep samples the
+configuration space broadly (volume sizes incl. non-cubic, sources
+inside/outside the volume, arbitrary 3D ray bundles — not just planar
+fans — anisotropic impedance scales, every start flavor) and requires
+per-pixel agreement with `ops/reference_oracle.render_frame_dense`
+everywhere.  Seeded and deterministic.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from diffus_tpu.types import RenderConfig
+from diffus_tpu.render.renderer import render_frame
+from diffus_tpu.ops.reference_oracle import render_frame_dense
+
+
+def _random_case(rng):
+    dims = tuple(int(d) for d in rng.integers(7, 34, 3))
+    scale = 10.0 ** rng.uniform(0, 6)
+    volume = (rng.uniform(0.01, 1.8, dims) * scale).astype(np.float32)
+    if rng.uniform() < 0.3:
+        # flat regions: reflection coefficients exactly zero
+        volume[: dims[0] // 2] = scale
+    n_rays = int(rng.integers(1, 12))
+    dirs = rng.normal(size=(n_rays, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    # sources inside, near the face, or OUTSIDE (clamp territory)
+    mode = rng.integers(0, 3)
+    if mode == 0:
+        source = rng.uniform(1, np.array(dims) - 2)
+    elif mode == 1:
+        source = np.array([dims[0] / 2, 0.3, dims[2] / 2])
+    else:
+        source = rng.uniform(-4, np.array(dims) + 4)
+    num_samples = int(rng.integers(4, 40))
+    start_flavor = rng.integers(0, 3)
+    start = (0, int(rng.integers(0, max(1, num_samples - 2))),
+             float(rng.uniform(0, 0.5)))[start_flavor]
+    att = 10.0 ** rng.uniform(-4, -0.3)
+    return (volume, source.astype(np.float32), dirs.astype(np.float32),
+            num_samples, start, att)
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_fuzzed_config_matches_dense_oracle(seed):
+    rng = np.random.default_rng(1000 + seed)
+    volume, source, dirs, num_samples, start, att = _random_case(rng)
+
+    config = RenderConfig(attenuation_coeff=att, start=start)
+    ox, oy, oz, ours = render_frame(
+        jnp.asarray(volume), jnp.asarray(source), jnp.asarray(dirs),
+        num_samples, config,
+    )
+    start_idx = config.start_index(num_samples)
+    wx, wy, wz, want = render_frame_dense(
+        volume, source, dirs, num_samples, att, start_idx
+    )
+
+    np.testing.assert_array_equal(np.asarray(ox), wx)
+    np.testing.assert_array_equal(np.asarray(oy), wy)
+    np.testing.assert_array_equal(np.asarray(oz), wz)
+    scale = np.max(np.abs(want)) + 1e-30
+    err = np.max(np.abs(np.asarray(ours) - want)) / scale
+    assert err < 5e-5, (
+        f"seed {seed}: max rel err {err} "
+        f"(dims {volume.shape}, rays {dirs.shape[0]}, samples {num_samples}, "
+        f"start {start!r}, att {att:.2e})"
+    )
