@@ -56,27 +56,6 @@ def _enable_compilation_cache(jax):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def _readback(x):
-    """Block via host readback: `block_until_ready` alone can under-report
-    through the execution relay (CLAUDE.md), so secondary metrics sync by
-    pulling ONE SCALAR back per call (~27ms overhead, included).  The
-    reduction happens on-device — pulling a whole frames array through
-    the tunnel would add ~12ms of transfer per call."""
-    import jax
-    import jax.numpy as jnp
-
-    leaves = jax.tree_util.tree_leaves(x)
-    return float(jnp.sum(leaves[0])) if leaves else 0.0
-
-
-def _readback_time_ms(fn, args_list, n):
-    _readback(fn(*args_list[0]))
-    t0 = time.perf_counter()
-    for i in range(n):
-        _readback(fn(*args_list[(i + 1) % len(args_list)]))
-    return (time.perf_counter() - t0) / n * 1e3
-
-
 def main():
     import jax
 
@@ -84,6 +63,8 @@ def main():
 
     import jax.numpy as jnp
     import optax
+
+    from diffus_tpu.utils.timing import measure_sync_ms, readback_time_ms
 
     from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
     from diffus_tpu.render.renderer import render_frame, render_sweep
@@ -132,13 +113,9 @@ def main():
     # (observed: a 32-pose sweep "timed" at 983k fps); every timed loop
     # below therefore closes with one host readback, which reliably
     # drains the queue, and the cost of that single sync is measured
-    # here and subtracted.
-    trivial = jax.jit(lambda s: jnp.sum(s))
-    float(trivial(singles[0]))
-    t0 = time.perf_counter()
-    for i in range(4):
-        float(trivial(singles[i + 1]))
-    sync_s = (time.perf_counter() - t0) / 4
+    # here and subtracted from EVERY reported metric.
+    sync_ms = measure_sync_ms()
+    sync_s = sync_ms / 1e3
 
     # --- single-frame latency (unique inputs per call) ---
     _, _, _, f = render_frame(volume, singles[0], directions, NUM_SAMPLES, config)
@@ -172,10 +149,11 @@ def main():
     tri_sweep = jax.jit(
         lambda v, s, d: render_sweep(v, s, d, NUM_SAMPLES, tri_config)[3]
     )
-    tri_ms = _readback_time_ms(
+    tri_ms = readback_time_ms(
         tri_sweep,
         [(volume, source_sets[i], directions) for i in range(TRILINEAR_ITERS + 1)],
         n=TRILINEAR_ITERS,
+        sync_ms=sync_ms,
     )
     trilinear_fps = POSE_BATCH / tri_ms * 1e3
 
@@ -199,10 +177,11 @@ def main():
     params = init_params(jax.random.PRNGKey(0))
     opt_state = optax.adam(tcfg.lr).init(params)
     mask = jnp.ones((128, 128), bool)
-    train_ms = _readback_time_ms(
+    train_ms = readback_time_ms(
         lambda src: train_step(params, opt_state, t1, target, mask, src, dirs128, tcfg)[2],
         [(s,) for s in srcs],
         n=4,
+        sync_ms=sync_ms,
     )
 
     # --- one pose-recovery gradient step (BASELINE config 4) ---
@@ -222,7 +201,7 @@ def main():
 
         return jax.grad(loss)(pos)
 
-    pose_ms = _readback_time_ms(pose_grad, [(s,) for s in srcs], n=4)
+    pose_ms = readback_time_ms(pose_grad, [(s,) for s in srcs], n=4, sync_ms=sync_ms)
 
     print(
         json.dumps(

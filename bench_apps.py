@@ -10,28 +10,11 @@ method through the execution relay — see CLAUDE.md).
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
 
-def _readback_time(fn, args_list, n=6):
-    _ = jax_block(fn(*args_list[0]))
-    t0 = time.perf_counter()
-    for i in range(n):
-        _ = jax_block(fn(*args_list[(i + 1) % len(args_list)]))
-    return (time.perf_counter() - t0) / n
-
-
-def jax_block(x):
-    import jax
-    import jax.numpy as jnp
-
-    # on-device reduction, then one scalar pull: block_until_ready is
-    # unreliable through the relay, and host-pulling whole arrays adds
-    # ~12 ms/call of transfer (docs/benchmarking.md)
-    leaves = jax.tree_util.tree_leaves(x)
-    return float(jnp.sum(leaves[0])) if leaves else 0.0
+from diffus_tpu.utils.timing import measure_sync_ms, readback_time_ms
 
 
 def main():
@@ -52,7 +35,8 @@ def main():
     import optax
 
     rng = np.random.default_rng(0)
-    results = {}
+    sync_ms = measure_sync_ms()
+    results = {"sync_ms": round(sync_ms, 2)}
 
     # config 2: multi-pose sweep (quarter-size volume keeps compile short)
     dim, rays, samples, P = 128, 256, 256, 16
@@ -65,8 +49,8 @@ def main():
                     + rng.uniform(-4, 4, (P, 3)).astype(np.float32))
         for _ in range(8)
     ]
-    dt = _readback_time(sweep, [(vol, s) for s in sets])
-    results["sweep_ms_per_pose"] = round(dt / P * 1e3, 3)
+    dt = readback_time_ms(sweep, [(vol, s) for s in sets], n=6, sync_ms=sync_ms)
+    results["sweep_ms_per_pose"] = round(dt / P, 3)
 
     # config 3: one training step (impedance MLP through the render)
     t1 = jnp.asarray(t1_phantom_3d((dim,) * 3))
@@ -85,10 +69,11 @@ def main():
         p2, s2, loss = train_step(p, s, t1, target, mask, src, dirs, tcfg)
         return loss
 
-    dt = _readback_time(
-        lambda src: one_step(params, opt_state, src), [(s[0],) for s in sets]
+    dt = readback_time_ms(
+        lambda src: one_step(params, opt_state, src), [(s[0],) for s in sets],
+        n=6, sync_ms=sync_ms,
     )
-    results["train_step_ms"] = round(dt * 1e3, 2)
+    results["train_step_ms"] = round(dt, 2)
 
     # config 4: one pose-recovery gradient step
     geom = BeamGeometry(n_rays=64, num_samples=128)
@@ -105,11 +90,11 @@ def main():
             lambda p: jnp.mean((render_pose(vol, TransducerPose(position=p, rotvec=jnp.zeros(3)), pcfg) - target_p) ** 2)
         )(pos))
 
-    dt = _readback_time(pose_grad, [(s[0],) for s in sets])
-    results["pose_grad_step_ms"] = round(dt * 1e3, 2)
+    dt = readback_time_ms(pose_grad, [(s[0],) for s in sets], n=6, sync_ms=sync_ms)
+    results["pose_grad_step_ms"] = round(dt, 2)
 
     results["device"] = str(jax.devices()[0])
-    results["note"] = "readback timing incl. host sync; volume 128^3"
+    results["note"] = "readback-closed, sync subtracted; volume 128^3"
     print(json.dumps(results))
 
 

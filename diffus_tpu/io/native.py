@@ -55,6 +55,16 @@ def _load():
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
+        # a stale .so (built before the writer / batch-ABI change) that
+        # failed to rebuild (no toolchain) must fall back to the Python
+        # paths, not raise AttributeError from dlsym — and must never be
+        # called through the new batch signature with the old ABI
+        for sym in ("nifti_probe", "nifti_read_f32", "nifti_write_f32",
+                    "nifti_read_batch_f32"):
+            try:
+                getattr(lib, sym)
+            except AttributeError:
+                return None
         lib.nifti_probe.restype = ctypes.c_int
         lib.nifti_probe.argtypes = [
             ctypes.c_char_p,

@@ -49,12 +49,17 @@ def sharded_render_sweep(
     over ``ray``; the volume is replicated (a 256^3 f32 volume is 64 MB —
     comfortably replicable in HBM).
 
-    Non-divisible sizes are handled by PADDING: pose and ray counts that
-    don't divide their mesh axis are padded (repeating the last
-    pose/ray), rendered sharded, and sliced back — callers never see the
-    padding.  This is the documented contract (PARITY.md, "sharding
-    contract"); the training step, by contrast, refuses non-divisible
-    batches because silently padding scenes would change the mean loss.
+    Non-divisible sizes (the documented contract — PARITY.md, "sharding
+    contract"): POSE counts that don't divide the mesh axis are padded
+    (repeating the last pose), rendered sharded, and sliced back — poses
+    are independent, so callers never see the padding.  RAY counts are
+    padded only when the render has no cross-ray coupling; with
+    ``config.start > 0`` (the start patch takes a median ACROSS rays,
+    reference ``renderer.py:243``) or ``config.artifacts`` (lateral blur
+    and sharpen mix neighboring rays) padded rays would contaminate real
+    ones, so those configurations raise instead.  The training step
+    refuses all non-divisible batches (padding would change the mean
+    loss).
 
     Returns device-sharded ``(x, y, z, frames)`` with a leading pose axis.
     """
@@ -64,6 +69,12 @@ def sharded_render_sweep(
             directions[None], (n_pose,) + directions.shape
         )
     pose_m, ray_m = mesh.shape["pose"], mesh.shape["ray"]
+    if n_ray % ray_m and (config.start_index(num_samples) > 0 or config.artifacts):
+        raise ValueError(
+            f"n_rays={n_ray} does not divide the mesh ray axis ({ray_m}) and "
+            "the config couples rays (start>0 median patch / artifacts): ray "
+            "padding would corrupt real rays — use a divisible ray count"
+        )
     sources = _pad_axis(sources, 0, pose_m)
     directions = _pad_axis(_pad_axis(directions, 0, pose_m), 1, ray_m)
 

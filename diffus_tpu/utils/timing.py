@@ -1,0 +1,60 @@
+"""Relay-proof benchmark timing helpers (shared by bench.py / bench_apps.py).
+
+Two facts about timing through the remote execution relay
+(docs/benchmarking.md):
+
+- ``block_until_ready`` is UNRELIABLE — it can return before the work
+  ran (observed: a 32-pose sweep "timed" at 983k fps).  Timed loops must
+  close with a host readback, which reliably drains the queue.
+- A host readback costs ~27 ms round trip, and pulling a whole array
+  adds ~12 ms/call of transfer — so readbacks reduce ON DEVICE and pull
+  one scalar, and the per-call sync cost is measured once and subtracted.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def readback(x) -> float:
+    """Drain the dispatch queue: reduce on device, pull one scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(jnp.sum(leaves[0])) if leaves else 0.0
+
+
+def measure_sync_ms(n: int = 4) -> float:
+    """The cost of one trivial dispatch + scalar readback round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    trivial = jax.jit(lambda s: jnp.sum(s))
+    xs = [jnp.asarray(np.full((8,), float(i), np.float32)) for i in range(n + 1)]
+    float(trivial(xs[0]))
+    t0 = time.perf_counter()
+    for i in range(n):
+        float(trivial(xs[i + 1]))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def readback_time_ms(fn, args_list, n: int, sync_ms: float = 0.0) -> float:
+    """Mean per-call milliseconds of ``fn`` over unique argument tuples.
+
+    All ``n`` dispatches are queued back-to-back and the loop closes with
+    ONE scalar readback (drains the queue); ``sync_ms`` (from
+    :func:`measure_sync_ms`) is subtracted once.  Amortizing the single
+    sync over the loop keeps sub-sync workloads measurable (a per-call
+    readback would bury a 1 ms step under the ~27 ms round trip) — the
+    number is steady-state throughput per call, not isolated latency.
+    """
+    readback(fn(*args_list[0]))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(n):
+        out = fn(*args_list[(i + 1) % len(args_list)])
+    readback(out)
+    return max((time.perf_counter() - t0) * 1e3 - sync_ms, 1e-6) / n

@@ -312,7 +312,10 @@ int nifti_write_f32(const char* path, const float* data, int ndim,
   if (!path || !data || ndim < 1 || ndim > 7 || !shape) return -2;
   int64_t n = 1;
   for (int i = 0; i < ndim; ++i) {
-    if (shape[i] < 1) return -2;
+    // NIfTI-1 dims are int16: reject anything unrepresentable instead of
+    // silently truncating into a corrupt header (the Python writer's
+    // struct.pack '<8h' raises on the same input)
+    if (shape[i] < 1 || shape[i] > 32767) return -2;
     n *= shape[i];
   }
 

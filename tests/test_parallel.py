@@ -71,6 +71,33 @@ def test_sharded_sweep_pads_non_divisible(n_pose, n_rays):
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x1))
 
 
+def test_sharded_sweep_padding_start_contract():
+    """Pose padding is safe under start>0 (poses are independent); RAY
+    padding is NOT (the start patch medians across rays, renderer.py:243)
+    and must raise rather than contaminate real rays."""
+    vol = jnp.asarray(brain_phantom_3d((24, 24, 24)))
+    rng = np.random.default_rng(2)
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40), 8)  # divides ray=4
+    sources = jnp.asarray(
+        np.array([12.0, 1.0, 12.0], np.float32)[None]
+        + rng.uniform(-1, 1, (5, 3)).astype(np.float32)  # pads to pose mult.
+    )
+    cfg = RenderConfig(attenuation_coeff=1e-4, start=4)
+    mesh = make_mesh(2, 4)
+    _, _, _, sharded = sharded_render_sweep(mesh, vol, sources, dirs, 16, cfg)
+    _, _, _, single = render_sweep(vol, sources, dirs, 16, cfg)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=1e-5, atol=1e-6
+    )
+
+    bad_dirs = fan_directions_2d([0.0, 1.0], np.radians(40), 6)  # 6 % 4 != 0
+    with pytest.raises(ValueError, match="ray padding would corrupt"):
+        sharded_render_sweep(mesh, vol, sources, bad_dirs, 16, cfg)
+    acfg = RenderConfig(attenuation_coeff=1e-4, artifacts=True)
+    with pytest.raises(ValueError, match="ray padding would corrupt"):
+        sharded_render_sweep(mesh, vol, sources, bad_dirs, 16, acfg)
+
+
 def test_shard_batch_rejects_non_divisible(rng):
     """Training batches must divide the mesh exactly — padding scenes
     would change the mean loss, so it's an error, not a silent pad."""
