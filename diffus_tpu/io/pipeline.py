@@ -1,0 +1,153 @@
+"""Training input pipeline: prefetched, device-resident volume batches.
+
+The reference loads each case eagerly through nibabel inside the
+training notebook (``src/datatype.py:30``, ``[DEMO] REUBEN DATA``
+cell 3) — decode stalls sit on the training critical path.  At
+production scale (hundreds of 256^3 cases per epoch) the input pipeline
+must overlap host-side decode with device compute.  This module does
+that natively: a background thread drives the C++ multithreaded batch
+decoder (``io.native.load_nifti_batch``) and stages each batch onto the
+device (``jax.device_put``) while the accelerator trains on the previous
+one, with a bounded queue for backpressure.
+
+Typical use::
+
+    with VolumePrefetcher(batched(paths, 8), threads=8) as pf:
+        for volumes, affine, spacing in pf:   # device-resident stacks
+            params, opt_state, loss = step(params, opt_state, volumes)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+
+def batched(paths: Sequence[str], batch_size: int, drop_remainder: bool = False):
+    """Split a path list into consecutive batches (the native batch
+    decoder requires equally-shaped files within one batch; a trailing
+    short batch is kept unless ``drop_remainder``)."""
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    out = [list(paths[i:i + batch_size]) for i in range(0, len(paths), batch_size)]
+    if drop_remainder and out and len(out[-1]) != batch_size:
+        out.pop()
+    return out
+
+
+class VolumePrefetcher:
+    """Background-thread NIfTI batch loader with device staging.
+
+    Iterates ``(stack, affine, spacing)`` per path-batch: ``stack`` is a
+    device-committed ``(B, *dims)`` float32 array (``jax.device_put``
+    runs on the loader thread, so the H2D transfer overlaps training),
+    ``affine``/``spacing`` are the first file's metadata (all files in a
+    batch must share one shape — enforced by the native decoder's
+    status -6 contract).
+
+    Args:
+      path_batches: iterable of path lists (see :func:`batched`).
+      prefetch: queue depth — how many decoded+staged batches may wait
+        ahead of the consumer (2 hides decode under compute without
+        hoarding HBM).
+      threads: decoder threads per batch (0 = one per file, capped by
+        CPU count).
+      device: target device (default: first ``jax.devices()``).
+      to_device: set False to yield host numpy stacks instead.
+
+    Exceptions raised by the loader thread (bad file, shape mismatch)
+    re-raise in the consumer on the iteration where they occurred, in
+    order.  Use as a context manager (or fully drain) so the thread is
+    joined.
+    """
+
+    _DONE = object()
+
+    def __init__(
+        self,
+        path_batches: Iterable[Sequence[str]],
+        prefetch: int = 2,
+        threads: int = 0,
+        device=None,
+        to_device: bool = True,
+    ):
+        if prefetch < 1:
+            raise ValueError("prefetch must be >= 1")
+        self._batches = list(path_batches)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._threads = threads
+        self._device = device
+        self._to_device = to_device
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        from diffus_tpu.io.native import load_nifti_batch
+
+        for paths in self._batches:
+            if self._stop.is_set():
+                break
+            try:
+                stack, affine, spacing = load_nifti_batch(
+                    paths, threads=self._threads
+                )
+                if self._to_device:
+                    import jax
+
+                    dev = self._device or jax.devices()[0]
+                    stack = jax.device_put(stack, dev)
+                item = (stack, affine, spacing)
+            except BaseException as e:  # surfaced to the consumer
+                item = e
+            # bounded put with stop polling so close() can't deadlock
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            if isinstance(item, BaseException):
+                break
+        while not self._stop.is_set():
+            try:
+                self._q.put(self._DONE, timeout=0.1)
+                break
+            except queue.Full:
+                continue
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def close(self):
+        """Stop the loader thread and drop queued batches."""
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._worker.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def iterate_cases(paths: Sequence[str], batch_size: int = 4, **kwargs):
+    """One-call convenience: yield prefetched device batches over
+    ``paths`` (see :class:`VolumePrefetcher`)."""
+    with VolumePrefetcher(batched(paths, batch_size), **kwargs) as pf:
+        yield from pf

@@ -4,6 +4,7 @@ import gzip
 import os
 
 import numpy as np
+import pytest
 
 from diffus_tpu.io import (
     load_nifti,
@@ -94,3 +95,60 @@ def test_find_remind_cases(tmp_path, rng):
     assert cases[46].ius_path and cases[46].cet1_path and cases[46].t2_path is None
     vol = cases[46].load("cet1")
     assert vol.shape == (3, 3, 3)
+
+
+class TestPipeline:
+    def _write_cases(self, tmp_path, rng, n=7, shape=(6, 5, 4)):
+        from diffus_tpu.io.nifti import save_nifti
+
+        paths, vols = [], []
+        for i in range(n):
+            v = rng.normal(size=shape).astype(np.float32)
+            p = str(tmp_path / f"case{i}.nii.gz")
+            save_nifti(p, v)
+            paths.append(p)
+            vols.append(v)
+        return paths, vols
+
+    def test_prefetcher_yields_all_batches_in_order(self, tmp_path, rng):
+        from diffus_tpu.io.pipeline import VolumePrefetcher, batched
+
+        paths, vols = self._write_cases(tmp_path, rng, n=7)
+        got = []
+        with VolumePrefetcher(batched(paths, 3), prefetch=2) as pf:
+            for stack, affine, spacing in pf:
+                got.append(np.asarray(stack))
+        assert [g.shape[0] for g in got] == [3, 3, 1]
+        np.testing.assert_array_equal(np.concatenate(got), np.stack(vols))
+
+    def test_prefetcher_surfaces_loader_errors(self, tmp_path, rng):
+        from diffus_tpu.io.pipeline import VolumePrefetcher, batched
+
+        paths, _ = self._write_cases(tmp_path, rng, n=3)
+        bad = str(tmp_path / "bad.nii")
+        with open(bad, "wb") as fh:
+            fh.write(b"\x00" * 100)
+        with VolumePrefetcher(batched(paths + [bad], 2), prefetch=1) as pf:
+            it = iter(pf)
+            first = next(it)  # good batch
+            assert np.asarray(first[0]).shape[0] == 2
+            with pytest.raises(Exception):
+                next(it)  # second batch contains the bad file
+                next(it)
+
+    def test_prefetcher_close_midstream(self, tmp_path, rng):
+        from diffus_tpu.io.pipeline import VolumePrefetcher, batched
+
+        paths, _ = self._write_cases(tmp_path, rng, n=6)
+        pf = VolumePrefetcher(batched(paths, 1), prefetch=1)
+        it = iter(pf)
+        next(it)
+        pf.close()  # must not deadlock with a full queue
+        assert not pf._worker.is_alive()
+
+    def test_batched_drop_remainder(self):
+        from diffus_tpu.io.pipeline import batched
+
+        assert batched(list("abcdefg"), 3) == [["a", "b", "c"], ["d", "e", "f"], ["g"]]
+        assert batched(list("abcdefg"), 3, drop_remainder=True) == [
+            ["a", "b", "c"], ["d", "e", "f"]]
