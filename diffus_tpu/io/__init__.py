@@ -13,4 +13,7 @@ from diffus_tpu.io.native import (
     load_nifti_native,
     load_nifti_fast,
     load_nifti_batch,
+    save_nifti_native,
+    save_nifti_fast,
 )
+from diffus_tpu.io.pipeline import VolumePrefetcher, batched, iterate_cases

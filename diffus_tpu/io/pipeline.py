@@ -23,9 +23,6 @@ import queue
 import threading
 from typing import Iterable, Iterator, Sequence
 
-import numpy as np
-
-
 def batched(paths: Sequence[str], batch_size: int, drop_remainder: bool = False):
     """Split a path list into consecutive batches (the native batch
     decoder requires equally-shaped files within one batch; a trailing
@@ -85,43 +82,55 @@ class VolumePrefetcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def _run(self):
-        from diffus_tpu.io.native import load_nifti_batch
-
-        for paths in self._batches:
-            if self._stop.is_set():
-                break
-            try:
-                stack, affine, spacing = load_nifti_batch(
-                    paths, threads=self._threads
-                )
-                if self._to_device:
-                    import jax
-
-                    dev = self._device or jax.devices()[0]
-                    stack = jax.device_put(stack, dev)
-                item = (stack, affine, spacing)
-            except BaseException as e:  # surfaced to the consumer
-                item = e
-            # bounded put with stop polling so close() can't deadlock
-            while not self._stop.is_set():
-                try:
-                    self._q.put(item, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
-            if isinstance(item, BaseException):
-                break
+    def _put(self, item) -> None:
+        """Bounded put with stop polling so close() can't deadlock."""
         while not self._stop.is_set():
             try:
-                self._q.put(self._DONE, timeout=0.1)
-                break
+                self._q.put(item, timeout=0.1)
+                return
             except queue.Full:
                 continue
 
+    def _run(self):
+        try:
+            from diffus_tpu.io.native import load_nifti_batch
+
+            for paths in self._batches:
+                if self._stop.is_set():
+                    break
+                try:
+                    stack, affine, spacing = load_nifti_batch(
+                        paths, threads=self._threads
+                    )
+                    if self._to_device:
+                        import jax
+
+                        dev = self._device or jax.devices()[0]
+                        stack = jax.device_put(stack, dev)
+                    item = (stack, affine, spacing)
+                except BaseException as e:  # surfaced to the consumer
+                    item = e
+                self._put(item)
+                if isinstance(item, BaseException):
+                    return
+            self._put(self._DONE)
+        except BaseException as e:
+            # anything that escapes the loop itself (import failure,
+            # queue trouble) must still reach the consumer — a silent
+            # worker death would hang __iter__ forever
+            self._put(e)
+
     def __iter__(self) -> Iterator:
         while True:
-            item = self._q.get()
+            try:
+                item = self._q.get(timeout=1.0)
+            except queue.Empty:
+                if not self._worker.is_alive():
+                    raise RuntimeError(
+                        "VolumePrefetcher loader thread died without "
+                        "reporting a result"
+                    ) from None
+                continue
             if item is self._DONE:
                 return
             if isinstance(item, BaseException):

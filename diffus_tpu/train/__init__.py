@@ -21,5 +21,6 @@ from diffus_tpu.train.pose_recovery import (
     sample_init_poses,
     recover_free,
 )
+from diffus_tpu.train.driver import CaseSpec, train_impedance_cases
 from diffus_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 from diffus_tpu.train.metrics import MetricsLogger

@@ -71,8 +71,11 @@ def _case_batches(cases: Sequence[CaseSpec], batch_size: int, threads: int):
             yield (t1,) + stack_rest(group)
         return
 
+    # to_device=False: shard_batch places each batch directly onto the
+    # mesh — staging to device 0 first would double the H2D transfer
     with VolumePrefetcher(
-        batched([c.t1 for c in cases], batch_size), threads=threads
+        batched([c.t1 for c in cases], batch_size), threads=threads,
+        to_device=False,
     ) as pf:
         for group, (stack, _, _) in zip(groups, pf):
             yield (jnp.asarray(stack),) + stack_rest(group)
@@ -107,10 +110,26 @@ def train_impedance_cases(
     Returns:
       ``(params, history)`` — final params and the per-step loss list.
     """
+    if cfg.loss != "masked_mse_edge":
+        raise ValueError(
+            f"the sharded step optimizes the frame-level masked_mse_edge "
+            f"objective (it shards over rays); got cfg.loss={cfg.loss!r}"
+        )
     if mesh is None:
         mesh = make_mesh(1, 1, jax.devices()[:1])
-    step_fn, init_opt = make_sharded_train_step(mesh, cfg)
-    params = init_params(key)
+    pose_m = mesh.shape["pose"]
+    if len(cases) % batch_size or batch_size % pose_m:
+        # fail BEFORE an epoch of compute, not at the trailing batch:
+        # shard_batch refuses non-divisible scene counts, and a ragged
+        # remainder would also force a second jit program per shape
+        raise ValueError(
+            f"len(cases)={len(cases)} must divide into batch_size={batch_size} "
+            f"batches that divide the mesh pose axis ({pose_m})"
+        )
+    step_fn, init_opt = make_sharded_train_step(
+        mesh, cfg, hidden=cfg.hidden, lr=cfg.lr
+    )
+    params = init_params(key, hidden=cfg.hidden)
     opt_state = init_opt(params)
     start_epoch = 0
     if resume and checkpoint_dir and os.path.exists(os.path.abspath(checkpoint_dir)):
@@ -121,20 +140,30 @@ def train_impedance_cases(
         params, opt_state = state["params"], state["opt_state"]
         start_epoch = int(state["epoch"])
 
-    history = []
-    step = start_epoch * ((len(cases) + batch_size - 1) // batch_size)
+    history = []  # device scalars during the loop: float() per step would
+    # force a host sync and serialize dispatch against the prefetcher
+    step = start_epoch * (len(cases) // batch_size)
+    last_saved = start_epoch
     with MetricsLogger(metrics_path) as log, mesh:
         for epoch in range(start_epoch, epochs):
             for batch in _case_batches(cases, batch_size, loader_threads):
                 batch = shard_batch(mesh, batch)
                 params, opt_state, loss = step_fn(params, opt_state, batch)
-                loss_f = float(loss)
-                history.append(loss_f)
-                log.log(step, epoch=epoch, loss=loss_f)
+                history.append(loss)
+                if metrics_path is not None:
+                    # per-step observability costs one host sync per batch
+                    log.log(step, epoch=epoch, loss=float(loss))
                 step += 1
             if checkpoint_dir and (epoch + 1) % checkpoint_every == 0:
                 save_checkpoint(
                     checkpoint_dir,
                     {"params": params, "opt_state": opt_state, "epoch": epoch + 1},
                 )
-    return params, history
+                last_saved = epoch + 1
+        if checkpoint_dir and last_saved != epochs and epochs > start_epoch:
+            # the final epoch must never exist only in memory
+            save_checkpoint(
+                checkpoint_dir,
+                {"params": params, "opt_state": opt_state, "epoch": epochs},
+            )
+    return params, [float(l) for l in history]

@@ -134,7 +134,6 @@ class TestPipeline:
             assert np.asarray(first[0]).shape[0] == 2
             with pytest.raises(Exception):
                 next(it)  # second batch contains the bad file
-                next(it)
 
     def test_prefetcher_close_midstream(self, tmp_path, rng):
         from diffus_tpu.io.pipeline import VolumePrefetcher, batched

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -433,3 +435,39 @@ def test_train_driver_in_memory_single_device():
     )
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_train_driver_validates_up_front():
+    """Config and batch mismatches fail BEFORE any compute: non-divisible
+    case counts, non-mse loss; cfg.hidden/lr are honored (not silently
+    defaulted)."""
+    from diffus_tpu.train.driver import CaseSpec, train_impedance_cases
+    from diffus_tpu.render.renderer import render_frame
+
+    t1, z_true, src, dirs = _tiny_scene()
+    rcfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    _, _, _, target = render_frame(z_true, src, dirs, 20, rcfg)
+    case = CaseSpec(
+        t1=np.asarray(t1), target=np.asarray(target),
+        mask=np.ones(target.shape, bool), source=np.asarray(src),
+        directions=np.asarray(dirs),
+    )
+    cfg = ImpedanceTrainConfig(num_samples=20, slice_index=12,
+                               loss="masked_mse_edge", render=rcfg)
+    with pytest.raises(ValueError, match="batch_size"):
+        train_impedance_cases(jax.random.PRNGKey(0), [case] * 3, cfg, batch_size=2)
+    with pytest.raises(ValueError, match="masked_mse_edge"):
+        train_impedance_cases(
+            jax.random.PRNGKey(0), [case],
+            ImpedanceTrainConfig(num_samples=20, slice_index=12, loss="ssim",
+                                 render=rcfg),
+        )
+    # a non-default MLP width must actually be used (it changes param shapes)
+    wide = ImpedanceTrainConfig(num_samples=20, slice_index=12, hidden=(16,),
+                                loss="masked_mse_edge", render=rcfg)
+    params, hist = train_impedance_cases(
+        jax.random.PRNGKey(0), [case], wide, epochs=2, batch_size=1,
+    )
+    shapes = [tuple(a.shape) for a in jax.tree_util.tree_leaves(params)]
+    assert (1, 16) in shapes  # first layer of the (16,) MLP
+    assert len(hist) == 2
