@@ -165,7 +165,7 @@ def main():
     srcs = [
         jnp.asarray(np.array([dim / 2, 4.0, dim / 2], np.float32)
                     + rng.uniform(-4, 4, 3).astype(np.float32))
-        for _ in range(6)
+        for _ in range(25)
     ]
     tcfg = ImpedanceTrainConfig(
         num_samples=samples, slice_index=dim // 2, lr=0.01,
@@ -180,7 +180,7 @@ def main():
     train_ms = readback_time_ms(
         lambda src: train_step(params, opt_state, t1, target, mask, src, dirs128, tcfg)[2],
         [(s,) for s in srcs],
-        n=4,
+        n=6,
         sync_ms=sync_ms,
     )
 
@@ -201,7 +201,9 @@ def main():
 
         return jax.grad(loss)(pos)
 
-    pose_ms = readback_time_ms(pose_grad, [(s,) for s in srcs], n=4, sync_ms=sync_ms)
+    # the pose step is ~0.5 ms device — amortize the (jittery, ~27 ms)
+    # sync over 24 unique-input dispatches or the subtraction drowns it
+    pose_ms = readback_time_ms(pose_grad, [(s,) for s in srcs], n=24, sync_ms=sync_ms)
 
     print(
         json.dumps(
@@ -215,6 +217,7 @@ def main():
                 "train_step_ms": round(train_ms, 2),
                 "pose_step_ms": round(pose_ms, 2),
                 "pose_batch": POSE_BATCH,
+                "sync_ms": round(sync_ms, 2),
                 "parity_max_rel_err": parity_err,
                 "target_fps": TARGET_FPS,
                 "pallas": use_pallas,
