@@ -35,3 +35,30 @@ def test_block_and_time_and_stage_timer():
     with stage_timer("stage", results):
         f(jnp.ones(8))
     assert results["stage"] > 0
+
+
+def test_timing_helpers_cpu():
+    """Relay-proof timing helpers (bench methodology): sync measurement,
+    readback draining, and per-call timing with sync subtraction."""
+    import jax.numpy as jnp
+    from diffus_tpu.utils.timing import readback, measure_sync_ms, readback_time_ms
+
+    assert readback((jnp.arange(4.0), "meta")) == 6.0
+    assert readback(()) == 0.0
+
+    sync = measure_sync_ms(n=2)
+    assert sync > 0
+
+    calls = []
+
+    def fn(x):
+        calls.append(float(x[0]))
+        return x * 2
+
+    args = [(jnp.full((3,), float(i)),) for i in range(4)]
+    ms = readback_time_ms(fn, args, n=3, sync_ms=0.0)
+    assert ms > 0
+    # warmup uses args[0]; timed calls cycle unique inputs from args[1:]
+    assert calls[0] == 0.0 and calls[1:] == [1.0, 2.0, 3.0]
+    # an absurd sync estimate clamps to the tiny positive floor, not negative
+    assert readback_time_ms(fn, args, n=3, sync_ms=1e9) > 0
