@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diffus_tpu.types import TransducerPose, BeamGeometry, rotvec_to_matrix
 

@@ -7,7 +7,6 @@ implemented as static-shape convolutions so they fuse under jit.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from diffus_tpu.types import BeamGeometry, RenderConfig, Volume
 from diffus_tpu.geometry.calibration import (
