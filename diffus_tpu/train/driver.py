@@ -25,8 +25,11 @@ import numpy as np
 from diffus_tpu.train.impedance_train import ImpedanceTrainConfig
 from diffus_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 from diffus_tpu.train.metrics import MetricsLogger
-from diffus_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
 from diffus_tpu.impedance.mlp import init_params
+
+# NOTE: diffus_tpu.parallel is imported lazily inside train_impedance_cases:
+# parallel.shard uses train.losses, so a module-level import here would
+# close an import cycle whenever diffus_tpu.parallel is imported first.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,6 +113,8 @@ def train_impedance_cases(
     Returns:
       ``(params, history)`` — final params and the per-step loss list.
     """
+    from diffus_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
+
     if cfg.loss != "masked_mse_edge":
         raise ValueError(
             f"the sharded step optimizes the frame-level masked_mse_edge "

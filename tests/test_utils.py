@@ -62,3 +62,23 @@ def test_timing_helpers_cpu():
     assert calls[0] == 0.0 and calls[1:] == [1.0, 2.0, 3.0]
     # an absurd sync estimate clamps to the tiny positive floor, not negative
     assert readback_time_ms(fn, args, n=3, sync_ms=1e9) > 0
+
+
+def test_no_import_cycle_parallel_first():
+    """Importing diffus_tpu.parallel before diffus_tpu.train must work:
+    parallel.shard uses train.losses, and train.driver uses parallel —
+    the driver therefore imports parallel lazily.  Regression test for
+    the cycle that only bit when parallel was imported first (a fresh
+    subprocess, unlike this test session, has no modules cached)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import diffus_tpu.parallel; import diffus_tpu.train; print('ok')"],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "/root/repo", "PALLAS_AXON_POOL_IPS": "",
+             "HOME": "/root"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
