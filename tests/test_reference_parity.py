@@ -369,3 +369,37 @@ def test_mri_us_point_mapping_matches_reference():
     got_slice, got_idx = us_to_mri_slice(4, 5, 6, us_aff, t1_vol, t1_aff)
     np.testing.assert_array_equal(np.asarray(got_idx), want_idx)
     np.testing.assert_allclose(np.asarray(got_slice), want_slice, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_config_matches_executed_reference(seed):
+    """Randomized configs against the reference's own plot_beam_frame
+    (complements the oracle fuzz in test_fuzz_parity.py): random volume
+    sizes/scales, ray counts, sample counts, starts, attenuations."""
+    rng = np.random.default_rng(2000 + seed)
+    dims = tuple(int(d) for d in rng.integers(10, 30, 3))
+    scale = 10.0 ** rng.uniform(2, 6)
+    vol = (rng.uniform(0.1, 1.8, dims) * scale).astype(np.float32)
+    n_rays = int(rng.integers(2, 7))
+    dirs = rng.normal(size=(n_rays, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = dirs.astype(np.float32)
+    src = rng.uniform(2, np.array(dims) - 3).astype(np.float32)
+    num_samples = int(rng.integers(6, 20))
+    start = (0, int(rng.integers(0, num_samples - 3)),
+             float(rng.uniform(0, 0.4)))[rng.integers(0, 3)]
+    att = 10.0 ** rng.uniform(-4, -1)
+
+    rx, ry, rz, r_out = _reference_frame(
+        _get_ref(), vol, src, dirs, num_samples, att, start
+    )
+    config = RenderConfig(attenuation_coeff=att, start=start)
+    ox, oy, oz, ours = render_frame(
+        jnp.asarray(vol), jnp.asarray(src), jnp.asarray(dirs), num_samples, config
+    )
+    np.testing.assert_array_equal(np.asarray(ox), rx)
+    np.testing.assert_array_equal(np.asarray(oy), ry)
+    np.testing.assert_array_equal(np.asarray(oz), rz)
+    scale_out = np.max(np.abs(r_out)) + 1e-30
+    err = np.max(np.abs(np.asarray(ours) - r_out)) / scale_out
+    assert err < 5e-5, f"seed {seed}: max rel err {err} (dims {dims}, start {start!r})"
