@@ -25,6 +25,10 @@ _lock = threading.Lock()
 _lib = None
 _lib_tried = False
 
+# Must match nifti_abi_version() in native/nifti_native.cpp; a loaded .so
+# reporting anything else (or nothing) is stale and unused.
+_ABI_VERSION = 3
+
 
 def _build() -> bool:
     try:
@@ -55,16 +59,18 @@ def _load():
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        # a stale .so (built before the writer / batch-ABI change) that
-        # failed to rebuild (no toolchain) must fall back to the Python
-        # paths, not raise AttributeError from dlsym — and must never be
-        # called through the new batch signature with the old ABI
-        for sym in ("nifti_probe", "nifti_read_f32", "nifti_write_f32",
-                    "nifti_read_batch_f32"):
-            try:
-                getattr(lib, sym)
-            except AttributeError:
+        # a stale .so (built before an ABI change) that failed to rebuild
+        # (no toolchain) must fall back to the Python paths, not call
+        # through a mismatched signature: check the explicit ABI version
+        # exported by the library (bumped on every signature or semantic
+        # change) rather than probing individual symbols — dlsym presence
+        # can only detect additive changes
+        try:
+            lib.nifti_abi_version.restype = ctypes.c_int
+            if lib.nifti_abi_version() != _ABI_VERSION:
                 return None
+        except AttributeError:
+            return None  # pre-versioning .so
         lib.nifti_probe.restype = ctypes.c_int
         lib.nifti_probe.argtypes = [
             ctypes.c_char_p,

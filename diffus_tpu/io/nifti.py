@@ -13,6 +13,7 @@ plus the 4x4 voxel->world affine, ready for
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 from dataclasses import dataclass
 
@@ -42,6 +43,7 @@ class NiftiHeader:
     scl_inter: float
     vox_offset: int
     byteorder: str
+    two_file: bool = False  # "ni1" magic: voxels in a sibling .img file
 
 
 def _quaternion_affine(b, c, d, qx, qy, qz, pixdim):
@@ -106,6 +108,25 @@ def _parse_header(raw: bytes) -> NiftiHeader:
         scl_inter=float(scl_inter),
         vox_offset=int(vox_offset),
         byteorder=order,
+        two_file=magic[:3] == b"ni1",
+    )
+
+
+def _companion_img(path: str) -> str:
+    """Resolve the ``.img`` voxel file of a two-file ("ni1") NIfTI header:
+    strip ``.gz`` / ``.hdr`` (or ``.nii``), append ``.img``, preferring
+    the uncompressed file over ``.img.gz``."""
+    base = str(path)
+    if base.endswith(".gz"):
+        base = base[:-3]
+    if base.endswith((".hdr", ".nii")):
+        base = base[:-4]
+    for cand in (base + ".img", base + ".img.gz"):
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"two-file NIfTI ('ni1' magic): no companion {base + '.img'}[.gz] "
+        f"next to {path!r}"
     )
 
 
@@ -129,9 +150,24 @@ def load_nifti(path: str):
     hdr = _parse_header(raw)
     count = int(np.prod(hdr.shape))
     dt = np.dtype(hdr.dtype).newbyteorder(hdr.byteorder)
-    data = np.frombuffer(
-        raw, dtype=dt, count=count, offset=max(hdr.vox_offset, 352)
-    ).reshape(hdr.shape, order="F")
+    if hdr.two_file:
+        # "ni1" magic: voxels live in a sibling .img, and vox_offset
+        # indexes into THAT file (commonly 0 — the 352 floor is a
+        # single-file rule only)
+        vox = _read_bytes(_companion_img(path))
+        offset = max(hdr.vox_offset, 0)
+    else:
+        vox = raw
+        offset = max(hdr.vox_offset, 352)
+    need = offset + count * dt.itemsize
+    if len(vox) < need:
+        raise ValueError(
+            f"NIfTI voxel data truncated: need {need} bytes "
+            f"(offset {offset} + {count} x {dt.itemsize}), have {len(vox)}"
+        )
+    data = np.frombuffer(vox, dtype=dt, count=count, offset=offset).reshape(
+        hdr.shape, order="F"
+    )
     data = np.ascontiguousarray(data, dtype=np.float32)
     if hdr.scl_slope not in (0.0,) and not np.isnan(hdr.scl_slope):
         if hdr.scl_slope != 1.0 or hdr.scl_inter != 0.0:

@@ -394,7 +394,11 @@ def render_sweep(
         chunk = _sweep_chunk(pose_batch, config)
     chunk = max(1, min(chunk, pose_batch))
     if pose_batch % chunk:
-        chunk = pose_batch  # non-divisible override: fall back to one vmap
+        # A non-dividing override must NOT silently fall back to one
+        # unchunked vmap: for trilinear sweeps >8 poses that re-enters
+        # the 2.6 GB gather-temp working set the chunking exists to
+        # avoid.  Use the nearest dividing chunk instead.
+        chunk = _sweep_chunk(pose_batch, config)
 
     if keys is None:
         inner = jax.vmap(

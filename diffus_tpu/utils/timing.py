@@ -50,7 +50,18 @@ def readback_time_ms(fn, args_list, n: int, sync_ms: float = 0.0) -> float:
     sync over the loop keeps sub-sync workloads measurable (a per-call
     readback would bury a 1 ms step under the ~27 ms round trip) — the
     number is steady-state throughput per call, not isolated latency.
+
+    Requires ``len(args_list) > n`` (one warm-up tuple + ``n`` unique
+    timed tuples): the execution relay CACHES identical-input dispatches,
+    so recycling inputs would silently report fantasy throughput — the
+    exact failure mode this helper exists to prevent.
     """
+    if len(args_list) <= n:
+        raise ValueError(
+            f"need {n + 1} unique argument tuples (1 warm-up + {n} timed), "
+            f"got {len(args_list)}: the relay caches identical-input "
+            "dispatches, so reused inputs inflate throughput"
+        )
     readback(fn(*args_list[0]))
     t0 = time.perf_counter()
     out = None

@@ -17,6 +17,7 @@
 #include <cstdio>
 #include <cstring>
 #include <cstdlib>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -29,7 +30,9 @@ struct Buffer {
 };
 
 // Read a whole file; transparently inflate if gzip (magic 1f 8b).
-static bool read_file(const char* path, Buffer& out) {
+// min_size guards header reads (348: a bare two-file .hdr has no
+// extension bytes); .img companions carry raw voxels, any size >= 1.
+static bool read_file(const char* path, Buffer& out, size_t min_size = 348) {
   FILE* fh = std::fopen(path, "rb");
   if (!fh) return false;
   std::fseek(fh, 0, SEEK_END);
@@ -64,7 +67,29 @@ static bool read_file(const char* path, Buffer& out) {
   } else {
     out.data = std::move(raw);
   }
-  return out.data.size() >= 352;
+  return out.data.size() >= min_size;
+}
+
+// Resolve the .img voxel companion of a two-file ("ni1" magic) NIfTI
+// header: strip .gz / .hdr (or .nii), append .img, prefer the
+// uncompressed file, fall back to .img.gz.
+static bool companion_img(const char* path, std::string& out) {
+  std::string p(path);
+  if (p.size() > 3 && p.compare(p.size() - 3, 3, ".gz") == 0)
+    p.resize(p.size() - 3);
+  if (p.size() > 4 && (p.compare(p.size() - 4, 4, ".hdr") == 0 ||
+                       p.compare(p.size() - 4, 4, ".nii") == 0))
+    p.resize(p.size() - 4);
+  p += ".img";
+  for (const std::string& cand : {p, p + ".gz"}) {
+    FILE* fh = std::fopen(cand.c_str(), "rb");
+    if (fh) {
+      std::fclose(fh);
+      out = cand;
+      return true;
+    }
+  }
+  return false;
 }
 
 static uint16_t load_u16(const unsigned char* p, bool swap) {
@@ -105,6 +130,7 @@ struct Header {
   float pixdim[8] = {1, 1, 1, 1, 1, 1, 1, 1};
   float affine[16] = {1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1};
   bool swap = false;
+  bool two_file = false;  // "ni1" magic: voxels live in a sibling .img
 };
 
 static bool parse_header(const Buffer& buf, Header& h) {
@@ -120,6 +146,7 @@ static bool parse_header(const Buffer& buf, Header& h) {
   const char* magic = reinterpret_cast<const char*>(p + 344);
   if (std::strncmp(magic, "n+1", 3) != 0 && std::strncmp(magic, "ni1", 3) != 0)
     return false;
+  h.two_file = std::strncmp(magic, "ni1", 3) == 0;
 
   int ndim = load_i16(p + 40, h.swap);
   if (ndim < 1) ndim = 1;
@@ -132,7 +159,13 @@ static bool parse_header(const Buffer& buf, Header& h) {
   h.datatype = load_i16(p + 70, h.swap);
   for (int i = 0; i < 8; ++i) h.pixdim[i] = load_f32(p + 76 + 4 * i, h.swap);
   float vox = load_f32(p + 108, h.swap);
-  h.vox_offset = vox < 352.0f ? 352 : static_cast<int64_t>(vox);
+  // single-file: voxels follow the 348-byte header + extensions, so the
+  // offset is at least 352.  Two-file ("ni1"): vox_offset indexes into
+  // the separate .img and is commonly 0 — no floor applies.
+  if (h.two_file)
+    h.vox_offset = vox < 0.0f ? 0 : static_cast<int64_t>(vox);
+  else
+    h.vox_offset = vox < 352.0f ? 352 : static_cast<int64_t>(vox);
   h.scl_slope = load_f32(p + 112, h.swap);
   h.scl_inter = load_f32(p + 116, h.swap);
 
@@ -235,8 +268,17 @@ static int decode_one(const char* path, float* out, int64_t capacity,
 
   int esize = dtype_size(h.datatype);
   if (esize == 0) return -4;
-  if (static_cast<int64_t>(buf.data.size()) < h.vox_offset + n * esize) return -5;
-  const unsigned char* src = buf.data.data() + h.vox_offset;
+  Buffer img;  // two-file voxels: must outlive `src`
+  const Buffer* vox_buf = &buf;
+  if (h.two_file) {
+    std::string img_path;
+    if (!companion_img(path, img_path)) return -8;  // missing .img sibling
+    if (!read_file(img_path.c_str(), img, 1)) return -8;
+    vox_buf = &img;
+  }
+  if (static_cast<int64_t>(vox_buf->data.size()) < h.vox_offset + n * esize)
+    return -5;
+  const unsigned char* src = vox_buf->data.data() + h.vox_offset;
 
   switch (h.datatype) {
     case 2: convert<uint8_t>(src, out, n, false); break;
@@ -261,6 +303,13 @@ static int decode_one(const char* path, float* out, int64_t capacity,
 }  // namespace
 
 extern "C" {
+
+// ABI version of this library.  diffus_tpu/io/native.py checks it at
+// load time and falls back to the pure-Python reader on mismatch — a
+// stale .so that failed to rebuild (no toolchain) must never be called
+// through a newer ctypes signature.  Bump on ANY exported-signature or
+// semantic change.
+int nifti_abi_version(void) { return 3; }
 
 // Probe metadata without decoding voxels.
 // shape_out: int64[8] = [ndim, d0..d6]; affine_out: float[16] row-major;

@@ -41,6 +41,43 @@ def test_native_int16_dtype(tmp_path, rng):
     np.testing.assert_array_equal(d_nat, data.astype(np.float32))
 
 
+def test_native_two_file_pair_matches_python(tmp_path, rng):
+    """C++ decoder reads 'ni1' .hdr/.img pairs (plain and gzipped .img)
+    identically to the Python reader."""
+    from tests.test_io import make_hdr_img_pair
+
+    data = rng.normal(size=(5, 7, 6)).astype(np.float32)
+    for gz in (False, True):
+        hdr_path = make_hdr_img_pair(tmp_path, data, gzip_img=gz, name=f"p{gz}")
+        d_nat, a_nat, s_nat = load_nifti_native(hdr_path)
+        d_py, a_py, s_py = load_nifti(hdr_path)
+        np.testing.assert_array_equal(d_nat, d_py)
+        np.testing.assert_array_equal(d_nat, data)
+        np.testing.assert_allclose(a_nat, a_py, rtol=1e-6)
+        np.testing.assert_allclose(s_nat, s_py, rtol=1e-6)
+
+
+def test_native_two_file_missing_img(tmp_path, rng):
+    from tests.test_io import make_hdr_img_pair
+
+    data = rng.normal(size=(3, 4, 3)).astype(np.float32)
+    hdr_path = make_hdr_img_pair(tmp_path, data, name="lone")
+    os.remove(os.path.join(str(tmp_path), "lone.img"))
+    with pytest.raises(ValueError, match="code -8"):
+        load_nifti_native(hdr_path)
+
+
+def test_native_abi_version_guard(tmp_path):
+    """The loaded .so must report the expected ABI version; the Python
+    check exists so a stale library silently falls back instead of being
+    called through a mismatched signature."""
+    from diffus_tpu.io import native as native_mod
+
+    lib = native_mod._load()
+    assert lib is not None
+    assert lib.nifti_abi_version() == native_mod._ABI_VERSION
+
+
 def test_native_error_on_garbage(tmp_path):
     path = os.path.join(str(tmp_path), "bad.nii")
     with open(path, "wb") as fh:
