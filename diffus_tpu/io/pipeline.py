@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 from typing import Iterable, Iterator, Sequence
 
 def batched(paths: Sequence[str], batch_size: int, drop_remainder: bool = False):
@@ -33,6 +34,46 @@ def batched(paths: Sequence[str], batch_size: int, drop_remainder: bool = False)
     if drop_remainder and out and len(out[-1]) != batch_size:
         out.pop()
     return out
+
+
+def _loader_put(q: queue.Queue, stop: threading.Event, item) -> bool:
+    """Bounded put with stop polling so close()/finalization can't
+    deadlock against a full queue."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
+def _loader_main(batches, q, stop, done, threads, device, to_device):
+    try:
+        from diffus_tpu.io.native import load_nifti_batch
+
+        for paths in batches:
+            if stop.is_set():
+                return
+            try:
+                stack, affine, spacing = load_nifti_batch(paths, threads=threads)
+                if to_device:
+                    import jax
+
+                    dev = device or jax.devices()[0]
+                    stack = jax.device_put(stack, dev)
+                item = (stack, affine, spacing)
+            except BaseException as e:  # surfaced to the consumer
+                item = e
+            _loader_put(q, stop, item)
+            if isinstance(item, BaseException):
+                return
+        _loader_put(q, stop, done)
+    except BaseException as e:
+        # anything that escapes the loop itself (import failure, queue
+        # trouble) must still reach the consumer — a silent worker death
+        # would hang __iter__ forever
+        _loader_put(q, stop, e)
 
 
 class VolumePrefetcher:
@@ -75,50 +116,22 @@ class VolumePrefetcher:
             raise ValueError("prefetch must be >= 1")
         self._batches = list(path_batches)
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._threads = threads
-        self._device = device
-        self._to_device = to_device
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        # The worker is a module-level function over shared state, NOT a
+        # bound method: a Thread(target=self._run) would keep `self`
+        # alive forever, so a consumer that abandons iteration without
+        # close() would leak the thread (and the decoded, possibly
+        # HBM-resident batch it pins).  With no self-reference the
+        # abandoned prefetcher is collected and the finalizer stops the
+        # thread.
+        self._worker = threading.Thread(
+            target=_loader_main,
+            args=(self._batches, self._q, self._stop, self._DONE,
+                  threads, device, to_device),
+            daemon=True,
+        )
         self._worker.start()
-
-    def _put(self, item) -> None:
-        """Bounded put with stop polling so close() can't deadlock."""
-        while not self._stop.is_set():
-            try:
-                self._q.put(item, timeout=0.1)
-                return
-            except queue.Full:
-                continue
-
-    def _run(self):
-        try:
-            from diffus_tpu.io.native import load_nifti_batch
-
-            for paths in self._batches:
-                if self._stop.is_set():
-                    break
-                try:
-                    stack, affine, spacing = load_nifti_batch(
-                        paths, threads=self._threads
-                    )
-                    if self._to_device:
-                        import jax
-
-                        dev = self._device or jax.devices()[0]
-                        stack = jax.device_put(stack, dev)
-                    item = (stack, affine, spacing)
-                except BaseException as e:  # surfaced to the consumer
-                    item = e
-                self._put(item)
-                if isinstance(item, BaseException):
-                    return
-            self._put(self._DONE)
-        except BaseException as e:
-            # anything that escapes the loop itself (import failure,
-            # queue trouble) must still reach the consumer — a silent
-            # worker death would hang __iter__ forever
-            self._put(e)
+        self._finalizer = weakref.finalize(self, self._stop.set)
 
     def __iter__(self) -> Iterator:
         while True:

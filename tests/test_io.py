@@ -210,6 +210,27 @@ class TestPipeline:
         pf.close()  # must not deadlock with a full queue
         assert not pf._worker.is_alive()
 
+    def test_abandoned_prefetcher_thread_stops(self, tmp_path, rng):
+        """A consumer that drops the prefetcher without close() must not
+        leak the loader thread (ADVICE r2): the worker holds no reference
+        to the prefetcher, so GC fires the finalizer which stops it."""
+        import gc
+
+        from diffus_tpu.io.pipeline import VolumePrefetcher, batched
+
+        paths = []
+        for i in range(6):
+            p = os.path.join(str(tmp_path), f"a{i}.nii")
+            save_nifti(p, rng.normal(size=(4, 4, 4)).astype(np.float32))
+            paths.append(p)
+        pf = VolumePrefetcher(batched(paths, 1), prefetch=1, to_device=False)
+        next(iter(pf))  # consume one batch, then abandon
+        worker = pf._worker
+        del pf
+        gc.collect()
+        worker.join(timeout=5.0)
+        assert not worker.is_alive()
+
     def test_batched_drop_remainder(self):
         from diffus_tpu.io.pipeline import batched
 

@@ -172,6 +172,26 @@ def test_artifact_stack_matches_reference():
         rtol=1e-5, atol=1e-6)
 
 
+def test_axial_blur_512_samples_and_trace_size():
+    """Headline-depth axial blur vs the executed reference, plus a trace
+    budget: the r2 version emitted 512 slice ops + a 512-way stack
+    (VERDICT r2 weak #5); the vectorized form must stay O(1) in depth."""
+    ref = _get_ref()
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (16, 512)).astype(np.float32)
+
+    from diffus_tpu.ops.artifacts import depth_dependent_axial_blur
+
+    np.testing.assert_allclose(
+        np.asarray(depth_dependent_axial_blur(jnp.asarray(img), max_kernel=7)),
+        ref.add_depth_dependent_axial_blur_np(img, max_kernel=7),
+        rtol=1e-5, atol=1e-6)
+    jaxpr = jax.make_jaxpr(
+        lambda x: depth_dependent_axial_blur.__wrapped__(x, max_kernel=7)
+    )(jnp.asarray(img))
+    assert len(jaxpr.jaxpr.eqns) < 40, len(jaxpr.jaxpr.eqns)
+
+
 @pytest.mark.parametrize("length,sigma", [(10, 1.0), (11, 2.0), (20, 4.0), (15, 3.0)])
 def test_gaussian_pulse_matches_reference(length, sigma):
     from diffus_tpu.ops.filters import gaussian_pulse
