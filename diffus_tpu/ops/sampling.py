@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def ray_points(
@@ -243,10 +244,177 @@ def sample_trilinear_rows2(volume: jax.Array, points: jax.Array):
     return idx, values
 
 
+# --- overlapped-tile gathers (round 3) -------------------------------------
+#
+# The r1/r2 measurements established that the v5e gather engine charges
+# ~2 ns per 512 B row REGARDLESS of row locality (a dominant-axis volume
+# transpose that puts consecutive samples in the same row wins only ~7%,
+# scripts/probe_layout_r3.py), so the only lever left is issuing FEWER
+# transactions.  An overlapping (y, z) tile table does that structurally:
+# each 128-lane row holds an 8x16 tile with stride (7, 15), so all four
+# (y0/1, z0/1) trilinear corners of a sample sit in ONE row -> 2 takes
+# per sample (x0, x1) instead of 8.  Table is ~1.36x the volume (87 MB
+# for 256^3 f32 — tables >~128 MB hit a measured take-cost cliff, see
+# docs/benchmarking.md).  Measured: 0.72 ms/frame vs 2.79 for the
+# 8-corner row gather at the benchmark config (probe_tile_r3.py).
+
+_TILE_TY, _TILE_TZ = 8, 16   # tile shape (one 128-lane row)
+_TILE_SY, _TILE_SZ = 7, 15   # strides: overlap of 1 guarantees corner pairs
+
+
+def _tile2d_table(volume: jax.Array):
+    """Overlapped (y, z) tile table: row ``(x*na + a)*nb + b`` holds
+    ``volume[x, 7a:7a+8, 15b:15b+16]`` flattened C-order.
+
+    Built with two static contiguous-index takes (NOT
+    ``conv_general_dilated_patches``, whose TPU lowering routes the
+    one-hot conv through the MXU with bf16 rounding — measured 4e-5
+    relative corruption of the table values).
+    """
+    d, h, w = volume.shape
+    na = (h - 1) // _TILE_SY + 1
+    nb = (w - 1) // _TILE_SZ + 1
+    ph = _TILE_SY * (na - 1) + _TILE_TY - h
+    pw = _TILE_SZ * (nb - 1) + _TILE_TZ - w
+    vp = jnp.pad(volume, ((0, 0), (0, ph), (0, pw)))
+    yi = (np.arange(na)[:, None] * _TILE_SY + np.arange(_TILE_TY)[None, :]).ravel()
+    zi = (np.arange(nb)[:, None] * _TILE_SZ + np.arange(_TILE_TZ)[None, :]).ravel()
+    t = jnp.take(jnp.take(vp, yi, axis=1), zi, axis=2)
+    t = t.reshape(d, na, _TILE_TY, nb, _TILE_TZ).transpose(0, 1, 3, 2, 4)
+    return t.reshape(d * na * nb, _TILE_TY * _TILE_TZ), na, nb
+
+
+def sample_trilinear_tile(volume: jax.Array, points: jax.Array):
+    """Trilinear sampling via the overlapped (y, z) tile table: 2 row
+    gathers per sample (the TPU fast path, ~3.9x the 8-corner form).
+
+    Same clamp/corner semantics as :func:`sample_trilinear`; the z blend
+    happens inside the lane select (two-term sum — same value up to an
+    ULP at the z-clamp edge where ``(1-fz)+fz`` is folded), then y and x
+    blend in the canonical order.  Differentiable w.r.t. ``points``
+    (through the fractional weights) and w.r.t. ``volume`` (through the
+    linear table build).
+    """
+    d, h, w = volume.shape
+    table, na, nb = _tile2d_table(volume)
+    dims = jnp.asarray(volume.shape, dtype=points.dtype)
+    p = jnp.clip(points, 0.0, dims - 1.0)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = p0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(volume.shape, jnp.int32) - 1)
+
+    y0, z0 = i0[..., 1], i0[..., 2]
+    dy, dz = i1[..., 1] - y0, i1[..., 2] - z0
+    a, b = y0 // _TILE_SY, z0 // _TILE_SZ
+    ly, lz = y0 - a * _TILE_SY, z0 - b * _TILE_SZ
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    lanes = jnp.arange(_TILE_TY * _TILE_TZ, dtype=jnp.int32)
+    l00 = ly * _TILE_TZ + lz
+    l10 = (ly + dy) * _TILE_TZ + lz
+    wz0 = (l00[..., None] == lanes) * (1 - fz)[..., None] + (
+        (l00 + dz)[..., None] == lanes
+    ) * fz[..., None]
+    wz1 = (l10[..., None] == lanes) * (1 - fz)[..., None] + (
+        (l10 + dz)[..., None] == lanes
+    ) * fz[..., None]
+
+    vals = []
+    for xv in (i0[..., 0], i1[..., 0]):
+        rows = jnp.take(table, (xv * na + a) * nb + b, axis=0)
+        cy0 = jnp.sum(rows * wz0, axis=-1)
+        cy1 = jnp.sum(rows * wz1, axis=-1)
+        vals.append(cy0 * (1 - fy) + cy1 * fy)
+    values = vals[0] * (1 - fx) + vals[1] * fx
+
+    dims_i = jnp.asarray(volume.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
+    return idx, values
+
+
+_T3_SHAPE = (4, 8, 4)   # 3D tile: all EIGHT corners in one 128-lane row
+_T3_STRIDE = (3, 7, 3)
+
+
+def _tile3d_table(volume: jax.Array, dtype=jnp.bfloat16):
+    """Overlapped 3D tile table (bf16 by default: the f32 version is
+    ~140 MB for 256^3 and crosses the measured take-cost cliff)."""
+    tx, ty, tz = _T3_SHAPE
+    sx, sy, sz = _T3_STRIDE
+    d, h, w = volume.shape
+    nd = (d - 1) // sx + 1
+    na = (h - 1) // sy + 1
+    nb = (w - 1) // sz + 1
+    vp = jnp.pad(
+        volume.astype(dtype),
+        (
+            (0, sx * (nd - 1) + tx - d),
+            (0, sy * (na - 1) + ty - h),
+            (0, sz * (nb - 1) + tz - w),
+        ),
+    )
+    xi = (np.arange(nd)[:, None] * sx + np.arange(tx)[None, :]).ravel()
+    yi = (np.arange(na)[:, None] * sy + np.arange(ty)[None, :]).ravel()
+    zi = (np.arange(nb)[:, None] * sz + np.arange(tz)[None, :]).ravel()
+    t = jnp.take(jnp.take(jnp.take(vp, xi, axis=0), yi, axis=1), zi, axis=2)
+    t = t.reshape(nd, tx, na, ty, nb, tz).transpose(0, 2, 4, 1, 3, 5)
+    return t.reshape(nd * na * nb, tx * ty * tz), nd, na, nb
+
+
+def sample_trilinear_tile3d_bf16(volume: jax.Array, points: jax.Array):
+    """Trilinear sampling with ONE row gather per sample: all 8 corners
+    live in one overlapped 3D tile (bf16 corner values, f32 weights).
+
+    The fastest trilinear formulation measured on v5e (0.26 ms/frame at
+    the benchmark config — nearest-gather speed), at the cost of bf16
+    corner precision (~4e-3 relative on values).  NOT the parity or
+    default training path; opt in via ``interp='trilinear_tile3d_bf16'``
+    for pose sweeps where throughput dominates.
+    """
+    tx, ty, tz = _T3_SHAPE
+    sx, sy, sz = _T3_STRIDE
+    table, nd, na, nb = _tile3d_table(volume)
+    dims = jnp.asarray(volume.shape, dtype=points.dtype)
+    p = jnp.clip(points, 0.0, dims - 1.0)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = p0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(volume.shape, jnp.int32) - 1)
+
+    x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    dx, dy, dz = i1[..., 0] - x0, i1[..., 1] - y0, i1[..., 2] - z0
+    ax, ay, az = x0 // sx, y0 // sy, z0 // sz
+    lx, ly, lz = x0 - ax * sx, y0 - ay * sy, z0 - az * sz
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    wx = (lx[..., None] == jnp.arange(tx)) * (1 - fx)[..., None] + (
+        (lx + dx)[..., None] == jnp.arange(tx)
+    ) * fx[..., None]
+    wy = (ly[..., None] == jnp.arange(ty)) * (1 - fy)[..., None] + (
+        (ly + dy)[..., None] == jnp.arange(ty)
+    ) * fy[..., None]
+    wz = (lz[..., None] == jnp.arange(tz)) * (1 - fz)[..., None] + (
+        (lz + dz)[..., None] == jnp.arange(tz)
+    ) * fz[..., None]
+    w = (wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]).reshape(
+        wx.shape[:-1] + (tx * ty * tz,)
+    )
+
+    rows = jnp.take(table, (ax * na + ay) * nb + az, axis=0)
+    values = jnp.sum(rows.astype(jnp.float32) * w, axis=-1)
+
+    dims_i = jnp.asarray(volume.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
+    return idx, values
+
+
 SAMPLERS = {
     "nearest": sample_nearest,
     "nearest_rows": sample_nearest_rows,
     "trilinear": sample_trilinear,
     "trilinear_rows": sample_trilinear_rows,
     "trilinear_rows2": sample_trilinear_rows2,
+    "trilinear_tile": sample_trilinear_tile,
+    "trilinear_tile3d_bf16": sample_trilinear_tile3d_bf16,
 }

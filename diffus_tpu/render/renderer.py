@@ -43,12 +43,18 @@ _DEFAULT_CONFIG = RenderConfig()
 def _resolve_sampler(interp: str) -> str:
     """On TPU, plain nearest upgrades to the lane-aligned row-gather
     formulation (bit-identical values, ~3x faster; see
-    ``ops.sampling.sample_nearest_rows``).  Trace-time decision."""
+    ``ops.sampling.sample_nearest_rows``) and trilinear to the
+    overlapped-(y,z)-tile gather (2 row gathers/sample instead of 8,
+    ~3.9x faster, values equal to ULPs; ``sample_trilinear_tile``).
+    ``trilinear_bf16`` is the explicit opt-in one-gather 3D-tile mode.
+    Trace-time decision."""
+    if interp == "trilinear_bf16":
+        return "trilinear_tile3d_bf16"
     if jax.default_backend() == "tpu":
         if interp == "nearest":
             return "nearest_rows"
         if interp == "trilinear":
-            return "trilinear_rows"
+            return "trilinear_tile"
     return interp
 
 

@@ -12,6 +12,7 @@ no serving story; everything is notebook cells).
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Sequence
 
@@ -33,6 +34,14 @@ class RendererService:
                               RenderConfig(attenuation_coeff=1e-4))
         svc.warmup()                       # compile the batch tiers
         frames = svc.render(sources)       # (P, 3) -> (P, rays, depth)
+
+    Thread safety: ``render``, ``update_volume`` and ``snapshot_stats``
+    may be called from multiple threads.  A single lock serializes the
+    volume-reference read, the dispatch, and the stats update — a
+    concurrent ``update_volume`` can therefore never swap the volume out
+    from under a half-dispatched batch, and stats counters cannot be
+    lost to read-modify-write races.  (Dispatches themselves already
+    serialize on the device queue, so the lock adds no throughput cost.)
     """
 
     def __init__(
@@ -65,6 +74,7 @@ class RendererService:
             )[3]
         )
         self.stats = {"requests": 0, "frames": 0, "padded_frames": 0}
+        self._lock = threading.Lock()
 
     def _tier(self, n: int) -> int:
         for b in self.batch_tiers:
@@ -101,21 +111,28 @@ class RendererService:
         out = []
         offset = 0
         max_tier = self.batch_tiers[-1]
-        while offset < p:
-            n = min(p - offset, max_tier)
-            tier = self._tier(n)
-            chunk = sources[offset : offset + n]
-            if n < tier:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.broadcast_to(chunk[-1:], (tier - n, 3))]
-                )
-                self.stats["padded_frames"] += tier - n
-            frames = self._fn(self.volume, chunk, self.directions)
-            out.append(frames[:n])
-            offset += n
-        self.stats["requests"] += 1
-        self.stats["frames"] += int(p)
+        with self._lock:
+            volume = self.volume  # one volume for the WHOLE request
+            while offset < p:
+                n = min(p - offset, max_tier)
+                tier = self._tier(n)
+                chunk = sources[offset : offset + n]
+                if n < tier:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.broadcast_to(chunk[-1:], (tier - n, 3))]
+                    )
+                    self.stats["padded_frames"] += tier - n
+                frames = self._fn(volume, chunk, self.directions)
+                out.append(frames[:n])
+                offset += n
+            self.stats["requests"] += 1
+            self.stats["frames"] += int(p)
         return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+    def snapshot_stats(self) -> dict:
+        """Consistent copy of the request counters."""
+        with self._lock:
+            return dict(self.stats)
 
     def update_volume(self, volume) -> None:
         """Swap the resident volume (e.g. new case) without recompiling —
@@ -126,4 +143,6 @@ class RendererService:
                 f"volume shape {new.shape} != staged {self.volume.shape}; "
                 "build a new service for a different shape"
             )
-        self.volume = jax.device_put(new, self._device)
+        staged = jax.device_put(new, self._device)
+        with self._lock:
+            self.volume = staged

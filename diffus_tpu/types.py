@@ -143,7 +143,10 @@ class RenderConfig:
     ``start`` reproduces the reference's start-index skip: a float is
     interpreted as a fraction of ``num_samples`` (``src/renderer.py:237-245``).
     ``interp='nearest'`` is the parity mode (``src/renderer.py:754-759``);
-    ``'trilinear'`` makes the render differentiable w.r.t. pose.
+    ``'trilinear'`` makes the render differentiable w.r.t. pose;
+    ``'trilinear_bf16'`` opts into the one-gather overlapped-3D-tile
+    sampler (bf16 corner values, f32 weights — ~4e-3 relative value
+    error, ~3x the trilinear throughput; still pose-differentiable).
     ``reflection_mode`` selects the r_RL convention in the propagation
     solver: ``'parity'`` matches the shipped code's ``refRL = +refLR``
     (``src/renderer.py:382``), ``'symmetric'`` the ``refRL = -refLR`` of
@@ -154,7 +157,7 @@ class RenderConfig:
 
     attenuation_coeff: float = 0.5
     start: float | int = 0
-    interp: Literal["nearest", "trilinear"] = "nearest"
+    interp: Literal["nearest", "trilinear", "trilinear_bf16"] = "nearest"
     reflection_mode: Literal["parity", "symmetric", "physical"] = "parity"
     use_pallas: bool = False
     pulse_length: int = 0   # >0 enables Gaussian transducer-pulse convolution
@@ -172,7 +175,7 @@ class RenderConfig:
     dtype: str = "float32"
 
     def __post_init__(self):
-        if self.interp not in ("nearest", "trilinear"):
+        if self.interp not in ("nearest", "trilinear", "trilinear_bf16"):
             raise ValueError(f"unknown interp {self.interp!r}")
         if self.reflection_mode not in ("parity", "symmetric", "physical"):
             raise ValueError(f"unknown reflection_mode {self.reflection_mode!r}")

@@ -67,3 +67,86 @@ def test_trilinear_gradient_wrt_points(rng):
     pm = p0.at[2, 1].add(-eps)
     fd = (f(pp) - f(pm)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g)[2, 1], np.asarray(fd), rtol=1e-2, atol=1e-3)
+
+
+class TestTileSamplers:
+    """Overlapped-tile trilinear gathers (the round-3 TPU fast paths)."""
+
+    def _random_case(self, rng, shape=(9, 23, 37), n=400):
+        from diffus_tpu.ops.sampling import sample_trilinear_tile
+
+        vol = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        # interior, boundary, clamp-edge and out-of-range points
+        pts = np.concatenate(
+            [
+                rng.uniform(-1.5, max(shape) + 1.5, size=(n, 3)),
+                np.array(
+                    [
+                        [shape[0] - 1.0, shape[1] - 1.0, shape[2] - 1.0],
+                        [0.0, 0.0, 0.0],
+                        [shape[0] - 1.3, shape[1] - 1.3, shape[2] - 1.3],
+                        [3.0, shape[1] - 1.0, 14.999],
+                    ]
+                ),
+            ]
+        ).astype(np.float32)
+        return vol, jnp.asarray(pts)
+
+    def test_tile2d_matches_trilinear(self, rng):
+        from diffus_tpu.ops.sampling import sample_trilinear_tile
+
+        vol, pts = self._random_case(rng)
+        idx_a, a = sample_trilinear(vol, pts)
+        idx_b, b = sample_trilinear_tile(vol, pts)
+        np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6)
+
+    def test_tile2d_gradients_match(self, rng):
+        from diffus_tpu.ops.sampling import sample_trilinear_tile
+
+        vol, pts = self._random_case(rng, n=50)
+
+        def f(fn, p, v):
+            return jnp.sum(fn(v, p)[1] ** 2)
+
+        ga = jax.grad(lambda p: f(sample_trilinear, p, vol))(pts)
+        gb = jax.grad(lambda p: f(sample_trilinear_tile, p, vol))(pts)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-4)
+        # volume gradients flow through the overlapped table build
+        va = jax.grad(lambda v: f(sample_trilinear, pts, v))(vol)
+        vb = jax.grad(lambda v: f(sample_trilinear_tile, pts, v))(vol)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-4, atol=1e-4)
+
+    def test_tile2d_small_and_awkward_shapes(self, rng):
+        from diffus_tpu.ops.sampling import sample_trilinear_tile
+
+        for shape in [(2, 2, 2), (3, 8, 16), (4, 7, 15), (5, 9, 17), (2, 30, 3)]:
+            vol = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+            pts = jnp.asarray(
+                rng.uniform(-0.5, max(shape), size=(40, 3)).astype(np.float32)
+            )
+            _, a = sample_trilinear(vol, pts)
+            _, b = sample_trilinear_tile(vol, pts)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6
+            )
+
+    def test_tile3d_bf16_close_and_differentiable(self, rng):
+        from diffus_tpu.ops.sampling import sample_trilinear_tile3d_bf16
+
+        vol, pts = self._random_case(rng, n=200)
+        _, a = sample_trilinear(vol, pts)
+        idx_b, b = sample_trilinear_tile3d_bf16(vol, pts)
+        # bf16 corner values: ~8-bit mantissa
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2)
+        g = jax.grad(
+            lambda p: jnp.sum(sample_trilinear_tile3d_bf16(vol, p)[1])
+        )(pts)
+        assert np.any(np.abs(np.asarray(g)) > 0)
+
+    def test_render_config_accepts_trilinear_bf16(self):
+        from diffus_tpu.types import RenderConfig
+        from diffus_tpu.render.renderer import _resolve_sampler
+
+        cfg = RenderConfig(interp="trilinear_bf16")
+        assert _resolve_sampler(cfg.interp) == "trilinear_tile3d_bf16"
