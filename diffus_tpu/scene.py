@@ -86,6 +86,7 @@ def build_scene_from_edges(
     d2: float = 256.0,
     us_slice_shape: tuple | None = None,
     fan_plane: str = "xy",
+    parity_step: bool = False,
 ) -> Scene:
     """Calibrate a transducer scene from two fan edge lines.
 
@@ -94,6 +95,14 @@ def build_scene_from_edges(
     space, fan generated around the transformed bisector; ``num_samples``
     is the depth window length ``d2`` like the notebooks'
     ``UltrasoundRenderer(num_samples=d2)`` and ``start = d1/d2``.
+
+    ``parity_step=True`` forces ``BeamGeometry.step = 1.0`` — the
+    reference implicitly marches one MRI voxel per US-pixel depth sample
+    regardless of the affines (``src/renderer.py:119-124``), so
+    reference-exact calibrated frames need this escape hatch; the
+    default derives the physically-correct step from the affine pair
+    (``us_to_mri_beam_scale``), which diverges from the reference for
+    any non-identity affines (documented divergence, r2).
     """
     cal = apex_and_direction_from_edges(m_left, b_left, m_right, b_right)
     apex_us = jnp.asarray(
@@ -105,7 +114,10 @@ def build_scene_from_edges(
     directions = fan_directions_2d(dir_mri, cal.opening_angle, n_rays, plane=fan_plane)
     # one depth step spans one US pixel: convert that length to MRI voxels
     # so the d1..d2 US-pixel window marches the right physical distance
-    step = float(us_to_mri_beam_scale(cal.direction, us_affine, t1_affine))
+    if parity_step:
+        step = 1.0
+    else:
+        step = float(us_to_mri_beam_scale(cal.direction, us_affine, t1_affine))
 
     us_mask = None
     if us_slice_shape is not None:

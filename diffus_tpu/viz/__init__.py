@@ -9,5 +9,8 @@ from diffus_tpu.viz.plots import (
     plot_median_line,
     plot_aligned_pair,
     plot_volume_3d,
+    plot_slice,
+    plot_slices,
 )
+from diffus_tpu.viz.isosurface import marching_tetrahedra, plot_volume_isosurface
 from diffus_tpu.viz.video import render_video, render_video_frame, save_gif

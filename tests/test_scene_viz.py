@@ -185,3 +185,69 @@ def test_frame_time_delays_reference_scalar_parity():
     want = np.asarray(echo_time_delays(12, spacing=0.7))
     for r in range(2):
         np.testing.assert_allclose(np.asarray(got[r]), want, rtol=1e-6)
+
+
+def test_scene_parity_step_escape_hatch():
+    """parity_step=True forces the reference's implicit step of 1.0 even
+    for non-identity affine pairs (ADVICE r2)."""
+    us_affine = np.diag([0.5, 0.5, 0.5, 1.0]).astype(np.float32)
+    t1_affine = np.eye(4, dtype=np.float32)
+    kw = dict(
+        m_left=1.0, b_left=0.0, m_right=-1.0, b_right=200.0,
+        us_affine=us_affine, t1_affine=t1_affine, slice_idx=10,
+        n_rays=8, d1=0.0, d2=32.0,
+    )
+    assert abs(build_scene_from_edges(**kw).geometry.step - 0.5) < 1e-5
+    assert build_scene_from_edges(**kw, parity_step=True).geometry.step == 1.0
+
+
+class TestIsosurface:
+    def test_sphere_isosurface_vertices_on_radius(self):
+        from diffus_tpu.viz import marching_tetrahedra
+
+        n, r = 24, 8.0
+        g = np.arange(n) - (n - 1) / 2.0
+        xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+        dist = np.sqrt(xs**2 + ys**2 + zs**2)
+        verts, faces = marching_tetrahedra(dist, level=r)
+        assert len(faces) > 100
+        assert faces.max() < len(verts)
+        center = (n - 1) / 2.0
+        vr = np.linalg.norm(verts - center, axis=1)
+        # linear interpolation of a radial field: vertices within a voxel
+        assert np.all(np.abs(vr - r) < 0.75), (vr.min(), vr.max())
+
+    def test_empty_when_level_outside_range(self):
+        from diffus_tpu.viz import marching_tetrahedra
+
+        vol = np.zeros((5, 5, 5))
+        verts, faces = marching_tetrahedra(vol, level=1.0)
+        assert len(verts) == 0 and len(faces) == 0
+
+    def test_step_decimation_consistent(self):
+        from diffus_tpu.viz import marching_tetrahedra
+
+        n = 20
+        g = np.arange(n) - (n - 1) / 2.0
+        xs, ys, zs = np.meshgrid(g, g, g, indexing="ij")
+        dist = np.sqrt(xs**2 + ys**2 + zs**2)
+        verts, faces = marching_tetrahedra(dist, level=6.0, step=2)
+        assert len(faces) > 20
+        vr = np.linalg.norm(verts - (n - 1) / 2.0, axis=1)
+        assert np.all(np.abs(vr - 6.0) < 1.6)  # coarser grid, looser band
+
+    def test_plot_volume_isosurface_smoke(self):
+        from diffus_tpu.viz import plot_volume_isosurface
+
+        vol = brain_phantom_3d((24, 24, 24))
+        ax = plot_volume_isosurface(vol)
+        assert ax is not None
+
+    def test_plot_slices_grid(self):
+        from diffus_tpu.viz import plot_slices, plot_slice
+
+        vol = brain_phantom_3d((16, 16, 16))
+        fig = plot_slices(vol, n=3, axis=2)
+        assert len([a for a in fig.axes if a.images]) >= 9
+        img = plot_slice(vol, slice_id=8, axis=1)
+        assert img.shape == (16, 16)
