@@ -284,7 +284,41 @@ def _tile2d_table(volume: jax.Array):
     return t.reshape(d * na * nb, _TILE_TY * _TILE_TZ), na, nb
 
 
-def sample_trilinear_tile(volume: jax.Array, points: jax.Array):
+@jax.tree_util.register_pytree_node_class
+class TileVolume:
+    """Pre-built overlapped (y, z) tile table (see :func:`_tile2d_table`).
+
+    Building the table inside a ``lax.map`` sweep body costs ~0.32
+    ms/frame at the benchmark config (measured r3) because XLA rebuilds
+    it per chunk; preparing once — per dispatch in ``render_sweep``, or
+    fully host-side for a long-lived service — removes that.  A pytree,
+    so it passes through jit/vmap boundaries like an array.
+    """
+
+    def __init__(self, table, na: int, nb: int, shape: tuple):
+        self.table = table
+        self.na = int(na)
+        self.nb = int(nb)
+        self.shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.table,), (self.na, self.nb, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def prepare_tile_volume(volume) -> TileVolume:
+    """Build (or pass through) the overlapped 2D tile table for
+    :func:`sample_trilinear_tile`."""
+    if isinstance(volume, TileVolume):
+        return volume
+    table, na, nb = _tile2d_table(volume)
+    return TileVolume(table, na, nb, tuple(volume.shape))
+
+
+def sample_trilinear_tile(volume, points: jax.Array):
     """Trilinear sampling via the overlapped (y, z) tile table: 2 row
     gathers per sample (the TPU fast path, ~3.9x the 8-corner form).
 
@@ -293,16 +327,17 @@ def sample_trilinear_tile(volume: jax.Array, points: jax.Array):
     ULP at the z-clamp edge where ``(1-fz)+fz`` is folded), then y and x
     blend in the canonical order.  Differentiable w.r.t. ``points``
     (through the fractional weights) and w.r.t. ``volume`` (through the
-    linear table build).
+    linear table build).  ``volume`` may be a raw ``(D, H, W)`` array or
+    a :class:`TileVolume` prepared with :func:`prepare_tile_volume`.
     """
-    d, h, w = volume.shape
-    table, na, nb = _tile2d_table(volume)
-    dims = jnp.asarray(volume.shape, dtype=points.dtype)
+    tv = prepare_tile_volume(volume)
+    table, na, nb = tv.table, tv.na, tv.nb
+    dims = jnp.asarray(tv.shape, dtype=points.dtype)
     p = jnp.clip(points, 0.0, dims - 1.0)
     p0 = jnp.floor(p)
     frac = p - p0
     i0 = p0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, jnp.asarray(volume.shape, jnp.int32) - 1)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(tv.shape, jnp.int32) - 1)
 
     y0, z0 = i0[..., 1], i0[..., 2]
     dy, dz = i1[..., 1] - y0, i1[..., 2] - z0
@@ -328,7 +363,7 @@ def sample_trilinear_tile(volume: jax.Array, points: jax.Array):
         vals.append(cy0 * (1 - fy) + cy1 * fy)
     values = vals[0] * (1 - fx) + vals[1] * fx
 
-    dims_i = jnp.asarray(volume.shape, dtype=jnp.int32)
+    dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
     return idx, values
 
@@ -362,25 +397,56 @@ def _tile3d_table(volume: jax.Array, dtype=jnp.bfloat16):
     return t.reshape(nd * na * nb, tx * ty * tz), nd, na, nb
 
 
-def sample_trilinear_tile3d_bf16(volume: jax.Array, points: jax.Array):
+@jax.tree_util.register_pytree_node_class
+class Tile3dVolume:
+    """Pre-built overlapped 3D tile table for the one-gather bf16
+    trilinear mode (see :class:`TileVolume` for why preparing helps)."""
+
+    def __init__(self, table, nd: int, na: int, nb: int, shape: tuple):
+        self.table = table
+        self.nd = int(nd)
+        self.na = int(na)
+        self.nb = int(nb)
+        self.shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.table,), (self.nd, self.na, self.nb, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def prepare_tile3d_volume(volume) -> Tile3dVolume:
+    """Build (or pass through) the overlapped 3D tile table for
+    :func:`sample_trilinear_tile3d_bf16`."""
+    if isinstance(volume, Tile3dVolume):
+        return volume
+    table, nd, na, nb = _tile3d_table(volume)
+    return Tile3dVolume(table, nd, na, nb, tuple(volume.shape))
+
+
+def sample_trilinear_tile3d_bf16(volume, points: jax.Array):
     """Trilinear sampling with ONE row gather per sample: all 8 corners
     live in one overlapped 3D tile (bf16 corner values, f32 weights).
 
     The fastest trilinear formulation measured on v5e (0.26 ms/frame at
     the benchmark config — nearest-gather speed), at the cost of bf16
     corner precision (~4e-3 relative on values).  NOT the parity or
-    default training path; opt in via ``interp='trilinear_tile3d_bf16'``
-    for pose sweeps where throughput dominates.
+    default training path; opt in via ``RenderConfig(interp=
+    'trilinear_bf16')`` for pose sweeps where throughput dominates.
+    ``volume`` may be a raw array or a prepared :class:`Tile3dVolume`.
     """
     tx, ty, tz = _T3_SHAPE
     sx, sy, sz = _T3_STRIDE
-    table, nd, na, nb = _tile3d_table(volume)
-    dims = jnp.asarray(volume.shape, dtype=points.dtype)
+    tv = prepare_tile3d_volume(volume)
+    table, na, nb = tv.table, tv.na, tv.nb
+    dims = jnp.asarray(tv.shape, dtype=points.dtype)
     p = jnp.clip(points, 0.0, dims - 1.0)
     p0 = jnp.floor(p)
     frac = p - p0
     i0 = p0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, jnp.asarray(volume.shape, jnp.int32) - 1)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(tv.shape, jnp.int32) - 1)
 
     x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
     dx, dy, dz = i1[..., 0] - x0, i1[..., 1] - y0, i1[..., 2] - z0
@@ -404,7 +470,7 @@ def sample_trilinear_tile3d_bf16(volume: jax.Array, points: jax.Array):
     rows = jnp.take(table, (ax * na + ay) * nb + az, axis=0)
     values = jnp.sum(rows.astype(jnp.float32) * w, axis=-1)
 
-    dims_i = jnp.asarray(volume.shape, dtype=jnp.int32)
+    dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
     return idx, values
 

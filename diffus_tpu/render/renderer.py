@@ -211,10 +211,15 @@ def render_frame(
     """
     if isinstance(volume, Volume):
         volume = volume.data
-    if config.dtype == "bfloat16":
+    from diffus_tpu.ops.sampling import TileVolume, Tile3dVolume
+
+    if config.dtype == "bfloat16" and not isinstance(
+        volume, (TileVolume, Tile3dVolume)
+    ):
         # serving mode: bf16 volume halves the gather bandwidth (the
         # bottleneck); the scan stays f32.  ~4e-3 relative error on
-        # reflection coefficients — NOT the parity mode.
+        # reflection coefficients — NOT the parity mode.  (Prepared tile
+        # tables carry their own dtype and are passed through.)
         volume = volume.astype(jnp.bfloat16)
     start = config.start_index(num_samples)
     if start >= num_samples - 1:
@@ -358,6 +363,11 @@ def _sweep_chunk(pose_batch: int, config: RenderConfig) -> int:
     divisor of ``pose_batch`` that is <= 8 for trilinear-mode sweeps,
     else ``pose_batch`` (no chunking).
     """
+    if config.interp == "trilinear_bf16":
+        # one-gather 3D-tile mode: gather temps are ~4x smaller and the
+        # 8->16 pose cliff does not appear (r3: 0.92 ms/frame at an
+        # unchunked 32-pose vmap vs 1.52 chunked-by-8)
+        return pose_batch
     if config.interp.startswith("trilinear") and pose_batch > 8:
         for c in (8, 7, 6, 5, 4, 3, 2):
             if pose_batch % c == 0:
@@ -396,6 +406,23 @@ def render_sweep(
         directions = jnp.broadcast_to(
             directions[None], (pose_batch,) + directions.shape
         )
+    # Hoist the tile-table build out of the chunk loop: built inside the
+    # lax.map body it is re-materialized per chunk (~0.32 ms/frame at the
+    # benchmark config, measured r3); prepared here it runs once per
+    # dispatch.  No-op for non-tile samplers and already-prepared input.
+    resolved = _resolve_sampler(config.interp)
+    if resolved in ("trilinear_tile", "trilinear_tile3d_bf16"):
+        from diffus_tpu.ops.sampling import (
+            prepare_tile_volume,
+            prepare_tile3d_volume,
+        )
+
+        if isinstance(volume, Volume):
+            volume = volume.data
+        if resolved == "trilinear_tile":
+            volume = prepare_tile_volume(volume)
+        else:
+            volume = prepare_tile3d_volume(volume)
     if chunk is None:
         chunk = _sweep_chunk(pose_batch, config)
     chunk = max(1, min(chunk, pose_batch))

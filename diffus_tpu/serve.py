@@ -75,6 +75,23 @@ class RendererService:
         )
         self.stats = {"requests": 0, "frames": 0, "padded_frames": 0}
         self._lock = threading.Lock()
+        # trilinear modes gather from a prebuilt overlapped-tile table:
+        # prepare it ONCE here so no dispatch ever pays the build
+        self._staged = self._prepare(self.volume)
+
+    def _prepare(self, volume):
+        from diffus_tpu.render.renderer import _resolve_sampler
+
+        resolved = _resolve_sampler(self.config.interp)
+        if resolved == "trilinear_tile":
+            from diffus_tpu.ops.sampling import prepare_tile_volume
+
+            return jax.jit(prepare_tile_volume)(volume)
+        if resolved == "trilinear_tile3d_bf16":
+            from diffus_tpu.ops.sampling import prepare_tile3d_volume
+
+            return jax.jit(prepare_tile3d_volume)(volume)
+        return volume
 
     def _tier(self, n: int) -> int:
         for b in self.batch_tiers:
@@ -88,7 +105,7 @@ class RendererService:
         dummy = jnp.zeros((1, 3), jnp.float32)
         for b in self.batch_tiers:
             src = jnp.broadcast_to(dummy, (b, 3))
-            self._fn(self.volume, src, self.directions).block_until_ready()
+            self._fn(self._staged, src, self.directions).block_until_ready()
         return time.perf_counter() - t0
 
     def render(self, sources) -> jax.Array:
@@ -112,7 +129,7 @@ class RendererService:
         offset = 0
         max_tier = self.batch_tiers[-1]
         with self._lock:
-            volume = self.volume  # one volume for the WHOLE request
+            volume = self._staged  # one volume for the WHOLE request
             while offset < p:
                 n = min(p - offset, max_tier)
                 tier = self._tier(n)
@@ -144,5 +161,7 @@ class RendererService:
                 "build a new service for a different shape"
             )
         staged = jax.device_put(new, self._device)
+        prepared = self._prepare(staged)
         with self._lock:
             self.volume = staged
+            self._staged = prepared

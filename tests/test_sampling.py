@@ -150,3 +150,51 @@ class TestTileSamplers:
 
         cfg = RenderConfig(interp="trilinear_bf16")
         assert _resolve_sampler(cfg.interp) == "trilinear_tile3d_bf16"
+
+
+def test_prepared_tile_volume_matches_raw(rng):
+    from diffus_tpu.ops.sampling import (
+        prepare_tile_volume, prepare_tile3d_volume,
+        sample_trilinear_tile, sample_trilinear_tile3d_bf16,
+    )
+
+    vol = jnp.asarray(rng.normal(size=(7, 19, 31)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 32, size=(60, 3)).astype(np.float32))
+    for prep, fn in (
+        (prepare_tile_volume, sample_trilinear_tile),
+        (prepare_tile3d_volume, sample_trilinear_tile3d_bf16),
+    ):
+        tv = prep(vol)
+        assert prep(tv) is tv  # idempotent pass-through
+        idx_a, a = fn(vol, pts)
+        idx_b, b = fn(tv, pts)
+        np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+        # ULP-level tolerance: op fusion reassociates the lane-select sums
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        # prepared volumes traverse jit boundaries as pytrees
+        _, c = jax.jit(fn)(tv, pts)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c), rtol=1e-6)
+
+
+def test_render_sweep_accepts_prepared_volume(rng):
+    """render_sweep hoists table prep per dispatch; passing an
+    already-prepared volume must give identical frames (service path)."""
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.render.renderer import render_sweep, _resolve_sampler
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.5, size=(16, 16, 16)).astype(np.float32))
+    dirs = jnp.asarray(
+        np.stack([np.zeros(4), np.ones(4), np.linspace(-0.2, 0.2, 4)], -1).astype(
+            np.float32
+        )
+    )
+    dirs = dirs / np.linalg.norm(np.asarray(dirs), axis=1, keepdims=True)
+    srcs = jnp.asarray(rng.uniform(4, 10, size=(3, 3)).astype(np.float32))
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear_bf16")
+    frames_raw = render_sweep(vol, srcs, dirs, 12, cfg)[3]
+    from diffus_tpu.ops.sampling import prepare_tile3d_volume
+
+    frames_prep = render_sweep(prepare_tile3d_volume(vol), srcs, dirs, 12, cfg)[3]
+    np.testing.assert_allclose(
+        np.asarray(frames_raw), np.asarray(frames_prep), rtol=1e-6, atol=1e-7
+    )
