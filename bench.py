@@ -145,17 +145,65 @@ def main():
     # --- training-mode (trilinear) throughput, same headline shapes ---
     # readback-timed: the auto-chunked sweep (lax.map) defeats
     # block_until_ready through the execution relay (reports fantasy fps)
+    tri_sets = [
+        jnp.asarray(
+            base[None, :] + rng.uniform(-8, 8, (POSE_BATCH, 3)).astype(np.float32)
+        )
+        for _ in range(2 * (TRILINEAR_ITERS + 1))
+    ]
     tri_config = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
     tri_sweep = jax.jit(
         lambda v, s, d: render_sweep(v, s, d, NUM_SAMPLES, tri_config)[3]
     )
     tri_ms = readback_time_ms(
         tri_sweep,
-        [(volume, source_sets[i], directions) for i in range(TRILINEAR_ITERS + 1)],
+        [(volume, tri_sets[i], directions) for i in range(TRILINEAR_ITERS + 1)],
         n=TRILINEAR_ITERS,
         sync_ms=sync_ms,
     )
     trilinear_fps = POSE_BATCH / tri_ms * 1e3
+
+    # opt-in one-gather 3D-tile mode (bf16 corners, f32 weights)
+    bf_config = RenderConfig(attenuation_coeff=1e-4, interp="trilinear_bf16")
+    bf_sweep = jax.jit(
+        lambda v, s, d: render_sweep(v, s, d, NUM_SAMPLES, bf_config)[3]
+    )
+    bf_ms = readback_time_ms(
+        bf_sweep,
+        [
+            (volume, tri_sets[TRILINEAR_ITERS + 1 + i], directions)
+            for i in range(TRILINEAR_ITERS + 1)
+        ],
+        n=TRILINEAR_ITERS,
+        sync_ms=sync_ms,
+    )
+    trilinear_bf16_fps = POSE_BATCH / bf_ms * 1e3
+
+    # --- gather-transaction roofline accounting (self-auditing) ---
+    # v5e measured floor: ~2 ns per 512 B gather row transaction
+    # (docs/benchmarking.md); nearest issues 1 row/sample, the tile
+    # trilinear 2 rows/sample.  roofline_fraction ~1.0 means the frame
+    # time IS the gather floor; <1 means overhead beyond the gather.
+    samples_per_frame = N_RAYS * NUM_SAMPLES
+    txn_ns = 2.0
+    frame_ms = 1e3 / fps
+    gather = {
+        "gather_transactions_per_frame": samples_per_frame,
+        "gather_bytes_per_frame": samples_per_frame * 512,
+        "effective_gbps": round(
+            samples_per_frame * 512 / (frame_ms * 1e6), 1
+        ),
+        "roofline_fraction": round(samples_per_frame * txn_ns * 1e-6 / frame_ms, 3),
+    }
+    tri_txn = 2 * samples_per_frame
+    gather_tri = {
+        "gather_transactions_per_frame": tri_txn,
+        "gather_bytes_per_frame": tri_txn * 512,
+        "effective_gbps": round(tri_txn * 512 / (tri_ms / POSE_BATCH * 1e6), 1),
+        "roofline_fraction": round(
+            tri_txn * txn_ns * 1e-6 / (tri_ms / POSE_BATCH), 3
+        ),
+    }
 
     # --- one impedance training step (BASELINE config 3; 128^3 volume) ---
     dim, rays, samples = 128, 256, 256
@@ -214,6 +262,9 @@ def main():
                 "vs_baseline": round(fps / REFERENCE_FPS, 1),
                 "single_frame_latency_ms": round(single_ms, 3),
                 "trilinear_fps": round(trilinear_fps, 1),
+                "trilinear_bf16_fps": round(trilinear_bf16_fps, 1),
+                "nearest_roofline": gather,
+                "trilinear_roofline": gather_tri,
                 "train_step_ms": round(train_ms, 2),
                 "pose_step_ms": round(pose_ms, 2),
                 "pose_batch": POSE_BATCH,

@@ -1,4 +1,4 @@
-"""Command-line interface: render / sweep / train / recover-pose / bench.
+"""Command-line interface — every framework subsystem, headless.
 
 The reference has no CLI (everything lives in notebook cells, SURVEY
 section 5 "Config / flag system: none"); this module makes every
@@ -7,11 +7,17 @@ workflow reachable headlessly:
     python -m diffus_tpu.cli render  --volume case.nii.gz --out frame.npy
     python -m diffus_tpu.cli sweep   --volume case.nii.gz --poses 32 --gif sweep.gif
     python -m diffus_tpu.cli train-impedance --t1 t1.nii.gz --us us.npy ...
+    python -m diffus_tpu.cli train-cases --manifest cases.json --epochs 3 ...
     python -m diffus_tpu.cli recover-pose    --volume case.nii.gz ...
+    python -m diffus_tpu.cli serve   --volume case.nii.gz --port 8080
     python -m diffus_tpu.cli selftest
 
 Volumes may be NIfTI files or .npy arrays; ``--impedance table|none``
 selects whether intensities are mapped through the tissue table first.
+``train-cases`` drives the multi-case production loop
+(``train.driver.train_impedance_cases``: prefetching loader, device
+mesh, checkpoints, JSONL metrics) from a JSON manifest; ``serve`` runs
+the HTTP serving runtime (``serve.make_http_server``).
 """
 
 from __future__ import annotations
@@ -179,6 +185,128 @@ def cmd_recover_pose(args):
     print(json.dumps(result))
 
 
+def cmd_train_cases(args):
+    """Multi-case production training from a JSON manifest.
+
+    Manifest: a list of case objects, each with ``t1`` (NIfTI/.npy path),
+    ``target`` (.npy frame path), optional ``mask`` (.npy bool path,
+    default all-true), ``source`` ([x, y, z]), and optional
+    ``direction``/``angle``/``rays`` overriding the shared flags.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.geometry import fan_directions_2d
+    from diffus_tpu.train import ImpedanceTrainConfig
+    from diffus_tpu.train.driver import CaseSpec, train_impedance_cases
+
+    with open(args.manifest) as fh:
+        entries = json.load(fh)
+    if not isinstance(entries, list) or not entries:
+        raise SystemExit(f"manifest {args.manifest!r} must be a non-empty list")
+
+    cases = []
+    image_shape = None
+    for e in entries:
+        target = np.load(e["target"]).astype(np.float32)
+        mask = (
+            np.load(e["mask"]).astype(bool)
+            if e.get("mask")
+            else np.ones_like(target, dtype=bool)
+        )
+        dirs = fan_directions_2d(
+            e.get("direction", args.direction),
+            np.radians(e.get("angle", args.angle)),
+            e.get("rays", args.rays),
+        )
+        t1 = e["t1"]
+        if isinstance(t1, str) and t1.endswith(".npy"):
+            t1 = np.load(t1).astype(np.float32)
+        cases.append(
+            CaseSpec(
+                t1=t1,
+                target=target,
+                mask=mask,
+                source=np.asarray(e["source"], np.float32),
+                directions=np.asarray(dirs),
+            )
+        )
+        image_shape = target.shape
+
+    mesh = None
+    if args.mesh_pose > 1 or args.mesh_ray > 1:
+        from diffus_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_pose, args.mesh_ray)
+    cfg = ImpedanceTrainConfig(
+        num_samples=args.samples,
+        slice_index=args.slice_index,
+        lr=args.lr,
+        loss=args.loss,
+        image_shape=tuple(image_shape),
+        render=RenderConfig(attenuation_coeff=args.attenuation, interp=args.interp),
+    )
+    params, history = train_impedance_cases(
+        jax.random.PRNGKey(args.seed),
+        cases,
+        cfg,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        mesh=mesh,
+        checkpoint_dir=args.checkpoint,
+        metrics_path=args.metrics,
+        loader_threads=args.threads,
+        resume=args.resume,
+    )
+    print(
+        json.dumps(
+            {
+                "cases": len(cases),
+                "steps": len(history),
+                "loss_first": history[0] if history else None,
+                "loss_last": history[-1] if history else None,
+            }
+        )
+    )
+
+
+def cmd_serve(args):
+    from diffus_tpu.types import RenderConfig, BeamGeometry
+    from diffus_tpu.serve import RendererService, make_http_server
+
+    vol = _maybe_impedance(_load_volume(args.volume), args.impedance)
+    geom = BeamGeometry(
+        n_rays=args.rays,
+        num_samples=args.samples,
+        opening_angle=float(np.radians(args.angle)),
+    )
+    cfg = RenderConfig(attenuation_coeff=args.attenuation, interp=args.interp)
+    svc = RendererService(
+        vol, geom, cfg,
+        median_direction=args.direction,
+        batch_tiers=tuple(args.tiers),
+    )
+    warm = svc.warmup()
+    server = make_http_server(svc, host=args.host, port=args.port)
+    print(
+        json.dumps(
+            {
+                "listening": f"http://{args.host}:{server.server_address[1]}",
+                "warmup_s": round(warm, 2),
+                "tiers": list(svc.batch_tiers),
+            }
+        ),
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
 def cmd_selftest(args):
     """Small end-to-end smoke: phantom -> impedance -> render -> parity."""
     import jax.numpy as jnp
@@ -246,6 +374,48 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--checkpoint", default=None)
     p.set_defaults(fn=cmd_train_impedance)
+
+    p = sub.add_parser(
+        "train-cases",
+        help="multi-case production training (prefetch/mesh/checkpoint/metrics)",
+    )
+    p.add_argument("--manifest", required=True, help="JSON list of case specs")
+    p.add_argument("--direction", type=float, nargs=2, default=[0.0, 1.0])
+    p.add_argument("--angle", type=float, default=45.0)
+    p.add_argument("--rays", type=int, default=256)
+    p.add_argument("--samples", type=int, default=512)
+    p.add_argument("--attenuation", type=float, default=1e-4)
+    p.add_argument("--interp", default="nearest",
+                   choices=["nearest", "trilinear", "trilinear_bf16"])
+    p.add_argument("--slice-index", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--loss", default="masked_mse_edge",
+                   choices=["ssim", "masked_mse_edge"])
+    p.add_argument("--mesh-pose", type=int, default=1)
+    p.add_argument("--mesh-ray", type=int, default=1)
+    p.add_argument("--threads", type=int, default=0, help="loader threads")
+    p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train_cases)
+
+    p = sub.add_parser("serve", help="HTTP serving runtime (RendererService)")
+    p.add_argument("--volume", required=True)
+    p.add_argument("--impedance", default="table", choices=["table", "none"])
+    p.add_argument("--direction", type=float, nargs=2, default=[0.0, 1.0])
+    p.add_argument("--angle", type=float, default=45.0)
+    p.add_argument("--rays", type=int, default=256)
+    p.add_argument("--samples", type=int, default=512)
+    p.add_argument("--attenuation", type=float, default=1e-4)
+    p.add_argument("--interp", default="nearest",
+                   choices=["nearest", "trilinear", "trilinear_bf16"])
+    p.add_argument("--tiers", type=int, nargs="+", default=[1, 8, 32])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("recover-pose", help="6-DoF pose recovery by gradient descent")
     p.add_argument("--volume", required=True)

@@ -363,11 +363,6 @@ def _sweep_chunk(pose_batch: int, config: RenderConfig) -> int:
     divisor of ``pose_batch`` that is <= 8 for trilinear-mode sweeps,
     else ``pose_batch`` (no chunking).
     """
-    if config.interp == "trilinear_bf16":
-        # one-gather 3D-tile mode: gather temps are ~4x smaller and the
-        # 8->16 pose cliff does not appear (r3: 0.92 ms/frame at an
-        # unchunked 32-pose vmap vs 1.52 chunked-by-8)
-        return pose_batch
     if config.interp.startswith("trilinear") and pose_batch > 8:
         for c in (8, 7, 6, 5, 4, 3, 2):
             if pose_batch % c == 0:

@@ -165,3 +165,70 @@ class RendererService:
         with self._lock:
             self.volume = staged
             self._staged = prepared
+
+
+def make_http_server(service: RendererService, host: str = "127.0.0.1",
+                     port: int = 8080):
+    """Minimal stdlib HTTP front-end for :class:`RendererService`.
+
+    Endpoints (JSON):
+      GET  /healthz            -> {"ok": true}
+      GET  /stats              -> request counters
+      POST /render {"sources": [[x,y,z], ...]}
+           -> {"shape": [...], "dtype": "float32", "npy_b64": "..."}
+              (frames as a base64 .npy payload — lossless and compact;
+              decode with ``np.load(io.BytesIO(base64.b64decode(s)))``)
+
+    Returns a ``ThreadingHTTPServer`` (call ``serve_forever()``; the
+    service's internal lock makes concurrent handler threads safe).
+    """
+    import base64
+    import io
+    import json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as np
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: metrics go through /stats
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, service.snapshot_stats())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/render":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                sources = np.asarray(req["sources"], np.float32)
+                frames = np.asarray(service.render(sources))
+                buf = io.BytesIO()
+                np.save(buf, frames)
+                self._send(
+                    200,
+                    {
+                        "shape": list(frames.shape),
+                        "dtype": str(frames.dtype),
+                        "npy_b64": base64.b64encode(buf.getvalue()).decode(),
+                    },
+                )
+            except Exception as e:  # surface bad requests, don't kill the server
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

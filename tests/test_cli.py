@@ -51,3 +51,86 @@ def test_cli_recover_pose(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["loss_last"] < out["loss_first"]
+
+
+def test_cli_train_cases(tmp_path, capsys):
+    """train-cases: manifest -> multi-case driver (prefetch/checkpoint/
+    metrics) reachable headlessly (VERDICT r2 weak #3)."""
+    d = str(tmp_path)
+    t1 = t1_phantom_3d((16, 16, 16))
+    target = np.abs(np.random.default_rng(0).normal(size=(8, 12))).astype(np.float32)
+    entries = []
+    for i in range(2):
+        t1p = os.path.join(d, f"t1_{i}.nii.gz")
+        tp = os.path.join(d, f"target_{i}.npy")
+        save_nifti(t1p, t1)
+        np.save(tp, target)
+        entries.append({"t1": t1p, "target": tp, "source": [8.0, 1.0, 8.0]})
+    manifest = os.path.join(d, "cases.json")
+    with open(manifest, "w") as fh:
+        json.dump(entries, fh)
+    metrics = os.path.join(d, "metrics.jsonl")
+    rc = main([
+        "train-cases", "--manifest", manifest, "--rays", "8", "--samples", "12",
+        "--slice-index", "8", "--epochs", "2", "--batch-size", "2",
+        "--metrics", metrics,
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["cases"] == 2 and out["steps"] == 2
+    assert np.isfinite(out["loss_last"])
+    assert len(open(metrics).read().strip().splitlines()) == 2
+
+
+def test_cli_serve_http(tmp_path):
+    """serve: the HTTP runtime end-to-end over a real socket."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from diffus_tpu.serve import RendererService, make_http_server
+    from diffus_tpu.types import RenderConfig, BeamGeometry
+    from diffus_tpu.phantoms import brain_phantom_3d
+
+    svc = RendererService(
+        brain_phantom_3d((16, 16, 16)),
+        BeamGeometry(n_rays=4, num_samples=8),
+        RenderConfig(attenuation_coeff=1e-4),
+        batch_tiers=(2,),
+    )
+    server = make_http_server(svc, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            assert _json.load(r)["ok"]
+        req = urllib.request.Request(
+            f"{url}/render",
+            data=_json.dumps({"sources": [[8.0, 1.0, 8.0]]}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            payload = _json.load(r)
+        frames = np.load(io.BytesIO(base64.b64decode(payload["npy_b64"])))
+        assert frames.shape == (1, 4, 8)
+        want = np.asarray(svc.render(np.array([[8.0, 1.0, 8.0]], np.float32)))
+        np.testing.assert_allclose(frames, want, rtol=1e-6)
+        with urllib.request.urlopen(f"{url}/stats", timeout=10) as r:
+            assert _json.load(r)["requests"] >= 1
+        # bad request -> 400, server survives
+        bad = urllib.request.Request(
+            f"{url}/render", data=b"{}", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            assert _json.load(r)["ok"]
+    finally:
+        server.shutdown()
+        server.server_close()
