@@ -9,4 +9,5 @@ from diffus_tpu.parallel.shard import (
     sharded_render_sweep,
     make_sharded_train_step,
     shard_batch,
+    sharded_recover_pose_multistart,
 )

@@ -115,11 +115,6 @@ def train_impedance_cases(
     """
     from diffus_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
 
-    if cfg.loss != "masked_mse_edge":
-        raise ValueError(
-            f"the sharded step optimizes the frame-level masked_mse_edge "
-            f"objective (it shards over rays); got cfg.loss={cfg.loss!r}"
-        )
     if mesh is None:
         mesh = make_mesh(1, 1, jax.devices()[:1])
     pose_m = mesh.shape["pose"]
@@ -152,7 +147,9 @@ def train_impedance_cases(
     with MetricsLogger(metrics_path) as log, mesh:
         for epoch in range(start_epoch, epochs):
             for batch in _case_batches(cases, batch_size, loader_threads):
-                batch = shard_batch(mesh, batch)
+                # ssim targets are splatted images: rays stay replicated
+                # (the splat couples them); frame losses shard rays too
+                batch = shard_batch(mesh, batch, shard_rays=cfg.loss != "ssim")
                 params, opt_state, loss = step_fn(params, opt_state, batch)
                 history.append(loss)
                 if metrics_path is not None:

@@ -220,3 +220,100 @@ def test_sharded_train_step_matches_single_device(rng, pose_m, ray_m):
     for a, b in zip(jax.tree_util.tree_leaves(params_sh),
                     jax.tree_util.tree_leaves(params_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("pose_m,ray_m", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_ssim_train_step_matches_single_device(rng, pose_m, ray_m):
+    """The flagship SSIM objective (splatted-image loss) rides the mesh
+    pose-DP (rays replicated: the splat couples them) — VERDICT r2 weak
+    #4.  Loss and update must match the unsharded step on every
+    factorization."""
+    import optax
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.train.impedance_train import (
+        ImpedanceTrainConfig, synth_forward,
+    )
+    from diffus_tpu.impedance.mlp import init_params
+    from diffus_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
+    from diffus_tpu.train.losses import ssim_loss
+
+    dim, rays, samples, B, img = 16, 8, 12, 8, (24, 24)
+    cfg = ImpedanceTrainConfig(
+        num_samples=samples, slice_index=dim // 2, loss="ssim",
+        image_shape=img, splat_axes=(0, 1),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
+    t1 = jnp.asarray(rng.uniform(100, 2000, (B, dim, dim, dim)).astype(np.float32))
+    targets = jnp.asarray(rng.uniform(0, 1, (B,) + img).astype(np.float32))
+    masks = jnp.ones((B,) + img, bool)
+    sources = jnp.asarray(np.tile([dim / 2, 1.0, dim / 2], (B, 1)).astype(np.float32))
+    dirs = jnp.broadcast_to(
+        fan_directions_2d([0.0, 1.0], np.radians(40), rays)[None], (B, rays, 3)
+    )
+
+    params = init_params(jax.random.PRNGKey(0))
+    tx = optax.adam(0.01)
+
+    def batch_loss(p):
+        def one(t1v, target, src, d):
+            return ssim_loss(synth_forward(p, t1v, src, d, cfg), target)
+
+        return jnp.mean(jax.vmap(one)(t1, targets, sources, dirs))
+
+    loss_ref, grads_ref = jax.value_and_grad(batch_loss)(params)
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    params_ref = optax.apply_updates(params, updates)
+
+    mesh = make_mesh(pose_m, ray_m)
+    with mesh:
+        step_fn, init_opt = make_sharded_train_step(mesh, cfg)
+        batch = shard_batch(mesh, (t1, targets, masks, sources, dirs),
+                            shard_rays=False)
+        params_sh, _, loss_sh = step_fn(params, init_opt(params), batch)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_sh),
+                    jax.tree_util.tree_leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("pose_m,ray_m,count", [(2, 4, 8), (8, 1, 5), (4, 2, 3)])
+def test_sharded_multistart_matches_single_device(rng, pose_m, ray_m, count):
+    """Multistart pose recovery sharded over all mesh devices (with
+    repeat-padding for non-divisible init counts) must match the
+    unsharded vmap run init-for-init."""
+    from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
+    from diffus_tpu.train.pose_recovery import (
+        PoseRecoveryConfig, recover_pose_multistart, render_pose,
+        sample_init_poses,
+    )
+    from diffus_tpu.parallel import make_mesh, sharded_recover_pose_multistart
+
+    dim = 16
+    vol = jnp.asarray(rng.uniform(0.5, 2.5, (dim, dim, dim)).astype(np.float32))
+    cfg = PoseRecoveryConfig(
+        geometry=BeamGeometry(n_rays=6, num_samples=10),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+        lr=0.1, steps=8,
+    )
+    target = render_pose(vol, TransducerPose.create([dim / 2, 1.0, dim / 2]), cfg)
+    inits = sample_init_poses(
+        jax.random.PRNGKey(3), [dim / 2, 2.0, dim / 2], 1.5, 0.05, count
+    )
+
+    poses_ref, losses_ref, best_ref = recover_pose_multistart(vol, target, inits, cfg)
+
+    mesh = make_mesh(pose_m, ray_m)
+    with mesh:
+        poses_sh, losses_sh, best_sh = sharded_recover_pose_multistart(
+            mesh, vol, target, inits, cfg
+        )
+    assert losses_sh.shape == (count, cfg.steps)
+    np.testing.assert_allclose(
+        np.asarray(losses_sh), np.asarray(losses_ref), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(poses_sh.position), np.asarray(poses_ref.position),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert int(best_sh) == int(best_ref)
