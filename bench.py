@@ -213,7 +213,7 @@ def main():
     srcs = [
         jnp.asarray(np.array([dim / 2, 4.0, dim / 2], np.float32)
                     + rng.uniform(-4, 4, 3).astype(np.float32))
-        for _ in range(25)
+        for _ in range(73)
     ]
     tcfg = ImpedanceTrainConfig(
         num_samples=samples, slice_index=dim // 2, lr=0.01,
@@ -249,9 +249,10 @@ def main():
 
         return jax.grad(loss)(pos)
 
-    # the pose step is ~0.5 ms device — amortize the (jittery, ~27 ms)
-    # sync over 24 unique-input dispatches or the subtraction drowns it
-    pose_ms = readback_time_ms(pose_grad, [(s,) for s in srcs], n=24, sync_ms=sync_ms)
+    # the pose step is ~0.5 ms device — amortize the (jittery, ~27-60 ms)
+    # sync over 72 unique-input dispatches or the subtraction drowns it
+    # (r3: 24 dispatches once reported 0.0 when the sync jittered high)
+    pose_ms = readback_time_ms(pose_grad, [(s,) for s in srcs], n=72, sync_ms=sync_ms)
 
     print(
         json.dumps(
