@@ -64,7 +64,11 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from diffus_tpu.utils.timing import measure_sync_ms, readback_time_ms
+    from diffus_tpu.utils.timing import (
+        measure_sync_ms,
+        readback_time_ms,
+        robust_readback_time_ms,
+    )
 
     from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
     from diffus_tpu.render.renderer import render_frame, render_sweep
@@ -89,7 +93,7 @@ def main():
         for _ in range(SWEEP_ITERS + 1)
     ]
     singles = [
-        jnp.asarray(base + rng.uniform(-8, 8, 3).astype(np.float32)) for _ in range(21)
+        jnp.asarray(base + rng.uniform(-8, 8, 3).astype(np.float32)) for _ in range(97)
     ]
 
     # --- correctness guard: small-scene parity vs the dense oracle ---
@@ -117,17 +121,13 @@ def main():
     sync_ms = measure_sync_ms()
     sync_s = sync_ms / 1e3
 
-    # --- single-frame latency (unique inputs per call) ---
-    _, _, _, f = render_frame(volume, singles[0], directions, NUM_SAMPLES, config)
-    float(jnp.sum(f))
-    t0 = time.perf_counter()
-    n_single = 20
-    for i in range(n_single):
-        _, _, _, f = render_frame(
-            volume, singles[i + 1], directions, NUM_SAMPLES, config
-        )
-    float(jnp.sum(f))
-    single_ms = (time.perf_counter() - t0 - sync_s) / n_single * 1e3
+    # --- single-frame latency (unique inputs; jitter-robust: sub-sync
+    # signal, so each group gets a just-in-time sync sample) ---
+    single_ms = robust_readback_time_ms(
+        lambda s: render_frame(volume, s, directions, NUM_SAMPLES, config)[3],
+        [(s,) for s in singles],
+        n=96,
+    )
 
     # --- batched throughput (multi-pose sweep, the serving workload) ---
     sweep = jax.jit(
@@ -213,7 +213,7 @@ def main():
     srcs = [
         jnp.asarray(np.array([dim / 2, 4.0, dim / 2], np.float32)
                     + rng.uniform(-4, 4, 3).astype(np.float32))
-        for _ in range(73)
+        for _ in range(145)
     ]
     tcfg = ImpedanceTrainConfig(
         num_samples=samples, slice_index=dim // 2, lr=0.01,
@@ -249,10 +249,11 @@ def main():
 
         return jax.grad(loss)(pos)
 
-    # the pose step is ~0.5 ms device — amortize the (jittery, ~27-60 ms)
-    # sync over 72 unique-input dispatches or the subtraction drowns it
-    # (r3: 24 dispatches once reported 0.0 when the sync jittered high)
-    pose_ms = readback_time_ms(pose_grad, [(s,) for s in srcs], n=72, sync_ms=sync_ms)
+    # the pose step is ~0.4 ms device — far below the relay's jittery
+    # 27-60 ms sync cost, so use the jitter-robust estimator (144 unique
+    # dispatches in 3 groups, each with its own adjacent sync sample;
+    # r3: a single stale sync sample once reported 0.0)
+    pose_ms = robust_readback_time_ms(pose_grad, [(s,) for s in srcs], n=144)
 
     print(
         json.dumps(

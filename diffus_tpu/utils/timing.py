@@ -69,3 +69,41 @@ def readback_time_ms(fn, args_list, n: int, sync_ms: float = 0.0) -> float:
         out = fn(*args_list[(i + 1) % len(args_list)])
     readback(out)
     return max((time.perf_counter() - t0) * 1e3 - sync_ms, 1e-6) / n
+
+
+def robust_readback_time_ms(fn, args_list, n: int, repeats: int = 3) -> float:
+    """Median of ``repeats`` independent readback-closed estimates, each
+    with its own just-in-time sync sample.
+
+    :func:`readback_time_ms` subtracts ONE up-front ``sync_ms``; the
+    relay's sync cost jitters by tens of ms between samples, so for
+    sub-millisecond workloads a stale sync sample can swamp the signal
+    entirely (r3: a 0.4 ms pose step once "measured" 0.0).  Here each
+    group of ``n // repeats`` unique dispatches subtracts a sync cost
+    measured IMMEDIATELY before it, and the median across groups rejects
+    jitter outliers.  Requires ``len(args_list) > n`` unique tuples.
+    """
+    if repeats < 1:
+        raise ValueError("repeats must be >= 1")
+    per = n // repeats
+    if per < 1:
+        raise ValueError(f"n={n} too small for {repeats} repeats")
+    if len(args_list) <= per * repeats:
+        raise ValueError(
+            f"need {per * repeats + 1} unique argument tuples, got {len(args_list)}"
+        )
+    readback(fn(*args_list[0]))
+    estimates = []
+    for r in range(repeats):
+        sync = measure_sync_ms(2)
+        group = args_list[1 + r * per : 1 + (r + 1) * per]
+        t0 = time.perf_counter()
+        out = None
+        for a in group:
+            out = fn(*a)
+        readback(out)
+        estimates.append(
+            max((time.perf_counter() - t0) * 1e3 - sync, 1e-6) / per
+        )
+    estimates.sort()
+    return estimates[len(estimates) // 2]

@@ -62,6 +62,35 @@ def test_timing_helpers_cpu():
     assert calls[0] == 0.0 and calls[1:] == [1.0, 2.0, 3.0]
     # an absurd sync estimate clamps to the tiny positive floor, not negative
     assert readback_time_ms(fn, args, n=3, sync_ms=1e9) > 0
+    # recycled argument tuples are rejected (relay caches identical inputs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unique"):
+        readback_time_ms(fn, args, n=4, sync_ms=0.0)
+
+
+def test_robust_readback_time_ms():
+    """Jitter-robust variant: per-group adjacent sync samples + median."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from diffus_tpu.utils.timing import robust_readback_time_ms
+
+    calls = []
+
+    def fn(x):
+        calls.append(float(x[0]))
+        return x + 1
+
+    args = [(jnp.full((3,), float(i)),) for i in range(7)]
+    ms = robust_readback_time_ms(fn, args, n=6, repeats=3)
+    assert ms > 0
+    # warmup arg 0, then three groups of two unique inputs in order
+    assert calls[0] == 0.0 and calls[1:] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    with _pytest.raises(ValueError, match="unique"):
+        robust_readback_time_ms(fn, args[:3], n=6, repeats=3)
+    with _pytest.raises(ValueError, match="repeats"):
+        robust_readback_time_ms(fn, args, n=2, repeats=4)
 
 
 def test_no_import_cycle_parallel_first():
