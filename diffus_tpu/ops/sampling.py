@@ -36,6 +36,18 @@ def ray_points(
     return source[None, None, :] + steps[None, :, None] * directions[:, None, :]
 
 
+def _require_raw(volume, who: str):
+    """Clear error when a prepared tile table reaches a non-tile sampler
+    (e.g. a :class:`TileVolume` passed with ``interp='nearest'``)."""
+    if isinstance(volume, (TileVolume, Tile3dVolume)):
+        raise TypeError(
+            f"{who} needs a raw (D, H, W) volume, got a prepared "
+            f"{type(volume).__name__}; prepared tables only work with the "
+            "tile samplers (interp='trilinear' on TPU / 'trilinear_bf16')"
+        )
+    return volume
+
+
 def sample_nearest(volume: jax.Array, points: jax.Array):
     """Nearest-neighbor gather at real-valued points (parity mode).
 
@@ -50,6 +62,7 @@ def sample_nearest(volume: jax.Array, points: jax.Array):
       ``(idx, values)``: integer coords ``(..., 3)`` (int32) and sampled
       values ``(...,)``.
     """
+    _require_raw(volume, "sample_nearest")
     dims = jnp.asarray(volume.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims - 1)
     values = volume[idx[..., 0], idx[..., 1], idx[..., 2]]
@@ -93,6 +106,7 @@ def sample_trilinear(volume: jax.Array, points: jax.Array, gather: str = "direct
       (same convention as :func:`sample_nearest`, used downstream for
       splatting) and ``values`` the interpolated samples.
     """
+    _require_raw(volume, "sample_trilinear")
     dims = jnp.asarray(volume.shape, dtype=points.dtype)
     p = jnp.clip(points, 0.0, dims - 1.0)
     p0 = jnp.floor(p)
@@ -154,6 +168,7 @@ def sample_nearest_rows(volume: jax.Array, points: jax.Array):
     Bit-identical to :func:`sample_nearest` (same round/clamp, exact f32
     selection).  Works for arbitrary 3D points (no planar-fan assumption).
     """
+    _require_raw(volume, "sample_nearest_rows")
     d, h, w = volume.shape
     dims = jnp.asarray(volume.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims - 1)

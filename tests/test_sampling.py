@@ -198,3 +198,17 @@ def test_render_sweep_accepts_prepared_volume(rng):
     np.testing.assert_allclose(
         np.asarray(frames_raw), np.asarray(frames_prep), rtol=1e-6, atol=1e-7
     )
+
+
+def test_non_tile_samplers_reject_prepared_volumes(rng):
+    import pytest
+
+    from diffus_tpu.ops.sampling import (
+        prepare_tile_volume, sample_nearest, sample_nearest_rows,
+    )
+
+    tv = prepare_tile_volume(jnp.ones((4, 4, 4)))
+    pts = jnp.zeros((3, 3))
+    for fn in (sample_nearest, sample_nearest_rows, sample_trilinear):
+        with pytest.raises(TypeError, match="prepared"):
+            fn(tv, pts)
