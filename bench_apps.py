@@ -14,7 +14,11 @@ import json
 import numpy as np
 
 
-from diffus_tpu.utils.timing import measure_sync_ms, readback_time_ms
+from diffus_tpu.utils.timing import (
+    measure_sync_ms,
+    readback_time_ms,
+    robust_readback_time_ms,
+)
 
 
 def main():
@@ -90,7 +94,13 @@ def main():
             lambda p: jnp.mean((render_pose(vol, TransducerPose(position=p, rotvec=jnp.zeros(3)), pcfg) - target_p) ** 2)
         )(pos))
 
-    dt = readback_time_ms(pose_grad, [(s[0],) for s in sets], n=6, sync_ms=sync_ms)
+    # sub-sync workload: jitter-robust estimator (see bench.py rationale)
+    pose_srcs = [
+        jnp.asarray(np.array([dim / 2, 4.0, dim / 2], np.float32)
+                    + rng.uniform(-4, 4, 3).astype(np.float32))
+        for _ in range(97)
+    ]
+    dt = robust_readback_time_ms(pose_grad, [(s,) for s in pose_srcs], n=96)
     results["pose_grad_step_ms"] = round(dt, 2)
 
     results["device"] = str(jax.devices()[0])

@@ -1,5 +1,6 @@
 """Applications: SSIM loss, impedance training, pose recovery, checkpointing."""
 
+import dataclasses
 import os
 
 import pytest
@@ -456,11 +457,12 @@ def test_train_driver_validates_up_front():
                                loss="masked_mse_edge", render=rcfg)
     with pytest.raises(ValueError, match="batch_size"):
         train_impedance_cases(jax.random.PRNGKey(0), [case] * 3, cfg, batch_size=2)
-    with pytest.raises(ValueError, match="masked_mse_edge"):
+    # an unknown objective still fails fast inside make_sharded_train_step
+    # (ssim itself is supported since r3 — see test_train_driver_ssim_loss)
+    with pytest.raises(ValueError, match="objective"):
         train_impedance_cases(
             jax.random.PRNGKey(0), [case],
-            ImpedanceTrainConfig(num_samples=20, slice_index=12, loss="ssim",
-                                 render=rcfg),
+            dataclasses.replace(cfg, loss="nope"), batch_size=1,
         )
     # a non-default MLP width must actually be used (it changes param shapes)
     wide = ImpedanceTrainConfig(num_samples=20, slice_index=12, hidden=(16,),
@@ -471,3 +473,29 @@ def test_train_driver_validates_up_front():
     shapes = [tuple(a.shape) for a in jax.tree_util.tree_leaves(params)]
     assert (1, 16) in shapes  # first layer of the (16,) MLP
     assert len(hist) == 2
+
+
+def test_train_driver_ssim_loss():
+    """The flagship SSIM objective runs through the multi-case driver
+    (image-shaped targets, rays replicated on the mesh) — r3."""
+    from diffus_tpu.train.driver import CaseSpec, train_impedance_cases
+
+    t1, z_true, src, dirs = _tiny_scene()
+    img = (20, 20)
+    rng = np.random.default_rng(0)
+    case = CaseSpec(
+        t1=np.asarray(t1),
+        target=rng.uniform(0, 1, img).astype(np.float32),
+        mask=np.ones(img, bool),
+        source=np.asarray(src),
+        directions=np.asarray(dirs),
+    )
+    cfg = ImpedanceTrainConfig(
+        num_samples=20, slice_index=12, loss="ssim", image_shape=img,
+        splat_axes=(0, 1),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
+    params, hist = train_impedance_cases(
+        jax.random.PRNGKey(0), [case, case], cfg, epochs=2, batch_size=2,
+    )
+    assert len(hist) == 2 and all(np.isfinite(h) for h in hist)
