@@ -434,6 +434,8 @@ def test_fuzzed_config_matches_executed_reference(seed):
         dict(src=(32.0, 2.0, 32.0), angle=45.0, start=126),
         # fractional start at scale
         dict(src=(8.0, 8.0, 8.0), angle=60.0, start=0.45),
+        # non-cubic volume at scale (axis-specific clamps must not mix)
+        dict(src=(40.0, 3.0, 30.0), angle=70.0, start=5, shape=(48, 64, 80)),
     ],
 )
 def test_large_scale_three_way_parity(case):
@@ -442,7 +444,7 @@ def test_large_scale_three_way_parity(case):
     fixed-config tests stopped at 32^3/24 samples, leaving clamp/indexing
     edge cases unexercised at scale)."""
     rng = np.random.default_rng(99)
-    vol = brain_phantom_3d((64, 64, 64))
+    vol = brain_phantom_3d(case.get("shape", (64, 64, 64)))
     vol = vol * (1.0 + 0.05 * rng.uniform(-1, 1, vol.shape)).astype(np.float32)
     src = np.asarray(case["src"], np.float32)
     dirs = np.asarray(
