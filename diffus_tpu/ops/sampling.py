@@ -337,10 +337,10 @@ def sample_trilinear_tile(volume, points: jax.Array):
     """Trilinear sampling via the overlapped (y, z) tile table: 2 row
     gathers per sample (the TPU fast path, ~3.9x the 8-corner form).
 
-    Same clamp/corner semantics as :func:`sample_trilinear`; the z blend
-    happens inside the lane select (two-term sum — same value up to an
-    ULP at the z-clamp edge where ``(1-fz)+fz`` is folded), then y and x
-    blend in the canonical order.  Differentiable w.r.t. ``points``
+    Same clamp/corner semantics as :func:`sample_trilinear`; the z and y
+    blends are folded into the lane-select weights (four nonzero lanes
+    per row — values match the canonical z->y->x blend to ULPs), then x
+    blends after the two takes.  Differentiable w.r.t. ``points``
     (through the fractional weights) and w.r.t. ``volume`` (through the
     linear table build).  ``volume`` may be a raw ``(D, H, W)`` array or
     a :class:`TileVolume` prepared with :func:`prepare_tile_volume`.
