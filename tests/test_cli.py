@@ -134,3 +134,27 @@ def test_cli_serve_http(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_cli_train_cases_meshed(tmp_path, capsys):
+    """train-cases over a real 2x4 device mesh (virtual 8-CPU conftest)."""
+    d = str(tmp_path)
+    t1 = t1_phantom_3d((16, 16, 16))
+    target = np.abs(np.random.default_rng(1).normal(size=(8, 12))).astype(np.float32)
+    entries = []
+    for i in range(4):
+        t1p = os.path.join(d, f"t1_{i}.nii.gz")
+        tp = os.path.join(d, f"target_{i}.npy")
+        save_nifti(t1p, t1)
+        np.save(tp, target)
+        entries.append({"t1": t1p, "target": tp, "source": [8.0, 1.0, 8.0]})
+    manifest = os.path.join(d, "cases.json")
+    with open(manifest, "w") as fh:
+        json.dump(entries, fh)
+    rc = main([
+        "train-cases", "--manifest", manifest, "--rays", "8", "--samples", "12",
+        "--slice-index", "8", "--epochs", "1", "--batch-size", "4",
+        "--mesh-pose", "2", "--mesh-ray", "4",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["cases"] == 4 and np.isfinite(out["loss_last"])

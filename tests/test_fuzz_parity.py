@@ -69,3 +69,23 @@ def test_fuzzed_config_matches_dense_oracle(seed):
         f"(dims {volume.shape}, rays {dirs.shape[0]}, samples {num_samples}, "
         f"start {start!r}, att {att:.2e})"
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_tile_sampler_matches_trilinear(seed):
+    """Random shapes/points: the overlapped-tile gather must match plain
+    trilinear everywhere (interior, boundary, far out of range)."""
+    from diffus_tpu.ops.sampling import sample_trilinear, sample_trilinear_tile
+
+    rng = np.random.default_rng(7000 + seed)
+    shape = tuple(int(d) for d in rng.integers(2, 40, 3))
+    vol = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    pts = rng.uniform(-3, max(shape) + 3, size=(300, 3)).astype(np.float32)
+    # sprinkle exact-integer and exact-boundary coordinates
+    pts[:40] = np.round(pts[:40])
+    pts[40:60, 0] = shape[0] - 1
+    pts[60:80, 2] = shape[2] - 1
+    idx_a, a = sample_trilinear(vol, jnp.asarray(pts))
+    idx_b, b = sample_trilinear_tile(vol, jnp.asarray(pts))
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-6, atol=3e-6)
