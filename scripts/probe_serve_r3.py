@@ -46,7 +46,11 @@ def main():
                 srcs += rng.uniform(-8, 8, (p, 3)).astype(np.float32)
                 t0 = time.perf_counter()
                 frames = svc.render(srcs)
-                float(np.asarray(frames).sum())
+                # scalar readback: drains the queue without pulling the
+                # 16 MB frame stack through the tunnel (r2 methodology)
+                import jax.numpy as jnp
+
+                float(jnp.sum(frames))
                 lat.append((time.perf_counter() - t0) * 1e3)
             results[f"{name}_p{p}_ms"] = round(sorted(lat)[len(lat) // 2], 1)
             print(f"{name} p={p}: {results[f'{name}_p{p}_ms']} ms", flush=True)

@@ -317,3 +317,17 @@ def test_sharded_multistart_matches_single_device(rng, pose_m, ray_m, count):
         rtol=1e-4, atol=1e-5,
     )
     assert int(best_sh) == int(best_ref)
+
+
+def test_depth_sharded_scan_headline_depth(rng):
+    """SP/CP analogue at the headline 512-sample depth on the 8-way axis."""
+    from diffus_tpu.parallel import make_mesh
+    from diffus_tpu.parallel.depth_scan import echo_amplitudes_depth_sharded
+    from diffus_tpu.ops.propagation import echo_amplitudes
+
+    mesh = make_mesh(1, 8)
+    r = jnp.asarray(rng.uniform(-0.5, 0.5, (8, 512)).astype(np.float32))
+    got = echo_amplitudes_depth_sharded(r, mesh, axis="ray")
+    want = echo_amplitudes(r)
+    err = float(jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-12))
+    assert err < 5e-3, err
