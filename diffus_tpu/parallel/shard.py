@@ -44,6 +44,7 @@ def sharded_render_sweep(
     directions: jax.Array,
     num_samples: int,
     config: RenderConfig = RenderConfig(),
+    step: float = 1.0,
 ):
     """Multi-pose sweep with poses sharded over the ``pose`` axis and rays
     over ``ray``; the volume is replicated (a 256^3 f32 volume is 64 MB —
@@ -83,7 +84,7 @@ def sharded_render_sweep(
     dir_s = jax.device_put(directions, NamedSharding(mesh, P("pose", "ray")))
 
     fn = jax.jit(
-        lambda v, s, d: render_sweep(v, s, d, num_samples, config),
+        lambda v, s, d: render_sweep(v, s, d, num_samples, config, step=step),
         static_argnames=(),
     )
     out = fn(vol_s, src_s, dir_s)

@@ -52,9 +52,11 @@ class RendererService:
         median_direction=(0.0, 1.0),
         batch_tiers: Sequence[int] = (1, 8, 32),
         device=None,
+        mesh=None,
     ):
         self.geometry = geometry
         self.config = config
+        self._mesh = mesh
         self.batch_tiers = tuple(sorted(set(int(b) for b in batch_tiers)))
         if not self.batch_tiers:
             raise ValueError("need at least one batch tier")
@@ -68,11 +70,32 @@ class RendererService:
             self._device,
         )
         step = float(geometry.step)
-        self._fn = jax.jit(
-            lambda v, s, d: render_sweep(
-                v, s, d, self.geometry.num_samples, self.config, step=step
+        if mesh is None:
+            self._fn = jax.jit(
+                lambda v, s, d: render_sweep(
+                    v, s, d, self.geometry.num_samples, self.config, step=step
+                )[3]
+            )
+        else:
+            # multi-chip serving: poses shard over the mesh's `pose` axis
+            # and rays over `ray` (GSPMD inserts the collectives); padded
+            # tiers keep the compiled-shape set small exactly as on one
+            # chip.  Ray-coupling configs with a non-divisible ray count
+            # fail here, at construction, not per request.
+            from diffus_tpu.parallel.shard import sharded_render_sweep
+
+            ray_m = mesh.shape.get("ray", 1)
+            if geometry.n_rays % ray_m and (
+                config.start_index(geometry.num_samples) > 0 or config.artifacts
+            ):
+                raise ValueError(
+                    f"n_rays={geometry.n_rays} does not divide the mesh ray "
+                    f"axis ({ray_m}) and the config couples rays; use a "
+                    "divisible ray count for meshed serving"
+                )
+            self._fn = lambda v, s, d: sharded_render_sweep(
+                mesh, v, s, d, self.geometry.num_samples, self.config, step=step
             )[3]
-        )
         self.stats = {"requests": 0, "frames": 0, "padded_frames": 0}
         self._lock = threading.Lock()
         # trilinear modes gather from a prebuilt overlapped-tile table:

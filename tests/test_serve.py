@@ -108,3 +108,37 @@ def test_service_concurrent_render_and_swap(svc, rng):
         assert ok_a or ok_b  # a whole-request volume, never a torn swap
     stats = svc.snapshot_stats()
     assert stats["frames"] == base_frames + 2 * len(renders)
+
+
+def test_service_meshed_matches_single_device():
+    """Multi-chip serving: a RendererService over a (2, 4) mesh returns
+    the same frames as the single-device service (padded tiers, prepared
+    tables and all)."""
+    from diffus_tpu.parallel import make_mesh
+
+    vol = brain_phantom_3d((24, 24, 24))
+    geom = BeamGeometry(n_rays=8, num_samples=16, opening_angle=np.radians(40))
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    single = RendererService(vol, geom, cfg, batch_tiers=(1, 4))
+    meshed = RendererService(
+        vol, geom, cfg, batch_tiers=(1, 4), mesh=make_mesh(2, 4)
+    )
+    rng = np.random.default_rng(5)
+    srcs = (np.array([12.0, 1.0, 12.0], np.float32)[None]
+            + rng.uniform(-2, 2, (5, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(meshed.render(srcs)), np.asarray(single.render(srcs)),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_service_meshed_rejects_coupled_nondivisible():
+    from diffus_tpu.parallel import make_mesh
+
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=6, num_samples=16)
+    with pytest.raises(ValueError, match="couples rays"):
+        RendererService(
+            vol, geom, RenderConfig(attenuation_coeff=1e-4, start=4),
+            batch_tiers=(2,), mesh=make_mesh(2, 4),
+        )
