@@ -42,7 +42,7 @@ def _load_volume(path: str):
     return data
 
 
-def _maybe_impedance(vol, mode: str):
+def _maybe_impedance(vol, mode: str, checkpoint: str | None = None):
     import jax.numpy as jnp
 
     if mode == "none":
@@ -52,12 +52,29 @@ def _maybe_impedance(vol, mode: str):
 
         tx, ty = default_table_points()
         return tabular_impedance_volume(jnp.asarray(vol), tx, ty)
-    raise SystemExit(f"unknown --impedance mode {mode!r} (use: table, none)")
+    if mode == "mlp":
+        # inference with a TRAINED impedance MLP: restore the params a
+        # train-impedance / train-cases run checkpointed and map the
+        # volume through the masked pipeline (mask -> zscore -> MLP -> Z)
+        if not checkpoint:
+            raise SystemExit("--impedance mlp requires --impedance-checkpoint")
+        from diffus_tpu.impedance.mlp import impedance_volume_masked
+        from diffus_tpu.train import load_checkpoint
+
+        try:
+            state = load_checkpoint(checkpoint)
+            params = state["params"]
+        except Exception as e:
+            raise SystemExit(f"cannot restore checkpoint {checkpoint!r}: {e}")
+        return impedance_volume_masked(params, jnp.asarray(vol))
+    raise SystemExit(f"unknown --impedance mode {mode!r} (use: table, mlp, none)")
 
 
 def _scene_args(p: argparse.ArgumentParser):
     p.add_argument("--volume", required=True, help="NIfTI or .npy volume")
-    p.add_argument("--impedance", default="table", choices=["table", "none"])
+    p.add_argument("--impedance", default="table", choices=["table", "mlp", "none"])
+    p.add_argument("--impedance-checkpoint", default=None,
+                   help="orbax dir with trained MLP params (for --impedance mlp)")
     p.add_argument("--source", type=float, nargs=3, default=[128.0, 4.0, 128.0])
     p.add_argument("--direction", type=float, nargs=2, default=[0.0, 1.0])
     p.add_argument("--angle", type=float, default=45.0, help="opening angle (deg)")
@@ -77,7 +94,10 @@ def _build(args):
     from diffus_tpu.types import RenderConfig
     from diffus_tpu.geometry import fan_directions_2d
 
-    vol = _maybe_impedance(_load_volume(args.volume), args.impedance)
+    vol = _maybe_impedance(
+        _load_volume(args.volume), args.impedance,
+        getattr(args, "impedance_checkpoint", None),
+    )
     src = jnp.asarray(np.asarray(args.source, np.float32))
     dirs = fan_directions_2d(args.direction, np.radians(args.angle), args.rays)
     start = args.start if args.start < 1 else int(args.start)
@@ -162,7 +182,10 @@ def cmd_recover_pose(args):
     from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
     from diffus_tpu.train import PoseRecoveryConfig, render_pose, recover_pose
 
-    vol = _maybe_impedance(_load_volume(args.volume), args.impedance)
+    vol = _maybe_impedance(
+        _load_volume(args.volume), args.impedance,
+        getattr(args, "impedance_checkpoint", None),
+    )
     geom = BeamGeometry(n_rays=args.rays, num_samples=args.samples,
                         opening_angle=np.radians(args.angle))
     cfg = PoseRecoveryConfig(
@@ -275,7 +298,10 @@ def cmd_serve(args):
     from diffus_tpu.types import RenderConfig, BeamGeometry
     from diffus_tpu.serve import RendererService, make_http_server
 
-    vol = _maybe_impedance(_load_volume(args.volume), args.impedance)
+    vol = _maybe_impedance(
+        _load_volume(args.volume), args.impedance,
+        getattr(args, "impedance_checkpoint", None),
+    )
     geom = BeamGeometry(
         n_rays=args.rays,
         num_samples=args.samples,
@@ -404,7 +430,8 @@ def main(argv=None):
 
     p = sub.add_parser("serve", help="HTTP serving runtime (RendererService)")
     p.add_argument("--volume", required=True)
-    p.add_argument("--impedance", default="table", choices=["table", "none"])
+    p.add_argument("--impedance", default="table", choices=["table", "mlp", "none"])
+    p.add_argument("--impedance-checkpoint", default=None)
     p.add_argument("--direction", type=float, nargs=2, default=[0.0, 1.0])
     p.add_argument("--angle", type=float, default=45.0)
     p.add_argument("--rays", type=int, default=256)
@@ -419,7 +446,8 @@ def main(argv=None):
 
     p = sub.add_parser("recover-pose", help="6-DoF pose recovery by gradient descent")
     p.add_argument("--volume", required=True)
-    p.add_argument("--impedance", default="table", choices=["table", "none"])
+    p.add_argument("--impedance", default="table", choices=["table", "mlp", "none"])
+    p.add_argument("--impedance-checkpoint", default=None)
     p.add_argument("--target", default=None, help=".npy target frame (else rendered from --true-source)")
     p.add_argument("--true-source", type=float, nargs=3, default=[128.0, 4.0, 128.0])
     p.add_argument("--source", type=float, nargs=3, required=True, help="initial guess")

@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 from diffus_tpu.cli import main
 from diffus_tpu.io import save_nifti
@@ -158,3 +159,40 @@ def test_cli_train_cases_meshed(tmp_path, capsys):
     ])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["cases"] == 4 and np.isfinite(out["loss_last"])
+
+
+def test_cli_mlp_impedance_inference(tmp_path, capsys):
+    """train-impedance --checkpoint, then render --impedance mlp restores
+    the trained MLP and maps the volume through it (checkpoint ->
+    inference -> serve-able Z volume)."""
+    d = str(tmp_path)
+    vol_path = os.path.join(d, "t1.nii.gz")
+    save_nifti(vol_path, t1_phantom_3d((24, 24, 24)))
+    target = np.abs(np.random.default_rng(0).normal(size=(24, 24))).astype(np.float32)
+    us_path = os.path.join(d, "us.npy")
+    np.save(us_path, target)
+    ck = os.path.join(d, "ck")
+    rc = main([
+        "train-impedance", "--t1", vol_path, "--us", us_path,
+        "--source", "12", "1", "12", "--rays", "8", "--samples", "16",
+        "--slice-index", "12", "--epochs", "2", "--loss", "masked_mse_edge",
+        "--checkpoint", ck,
+    ])
+    assert rc == 0 and os.path.exists(ck)
+
+    out_path = os.path.join(d, "frame.npy")
+    rc = main([
+        "render", "--volume", vol_path, "--out", out_path,
+        "--impedance", "mlp", "--impedance-checkpoint", ck,
+        "--source", "12", "1", "12", "--rays", "6", "--samples", "14",
+    ])
+    assert rc == 0
+    frame = np.load(out_path)
+    assert frame.shape == (6, 14) and np.all(np.isfinite(frame))
+
+    # missing checkpoint: clear error
+    with pytest.raises(SystemExit, match="impedance-checkpoint"):
+        main([
+            "render", "--volume", vol_path, "--out", out_path,
+            "--impedance", "mlp", "--rays", "4", "--samples", "8",
+        ])
