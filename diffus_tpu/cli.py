@@ -12,8 +12,9 @@ workflow reachable headlessly:
     python -m diffus_tpu.cli serve   --volume case.nii.gz --port 8080
     python -m diffus_tpu.cli selftest
 
-Volumes may be NIfTI files or .npy arrays; ``--impedance table|none``
-selects whether intensities are mapped through the tissue table first.
+Volumes may be NIfTI files or .npy arrays; ``--impedance
+table|mlp|none`` maps intensities through the tissue table, a TRAINED
+MLP checkpoint (``--impedance-checkpoint``), or not at all.
 ``train-cases`` drives the multi-case production loop
 (``train.driver.train_impedance_cases``: prefetching loader, device
 mesh, checkpoints, JSONL metrics) from a JSON manifest; ``serve`` runs
