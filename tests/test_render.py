@@ -174,7 +174,6 @@ def test_transcranial_skull_shadows(rng):
 
 def test_render_with_pulse_convolution(rng):
     from diffus_tpu.ops.filters import gaussian_pulse
-    from scipy.ndimage import correlate1d
 
     vol, source, dirs = _scene(rng, n_rays=4)
     base = RenderConfig(attenuation_coeff=0.1)

@@ -7,7 +7,6 @@ import pytest
 from diffus_tpu.serve import RendererService
 from diffus_tpu.types import RenderConfig, BeamGeometry
 from diffus_tpu.render.renderer import render_frame
-from diffus_tpu.geometry.fan import fan_directions_2d
 from diffus_tpu.phantoms import brain_phantom_3d
 
 

@@ -12,7 +12,6 @@ import numpy as np
 from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
 from diffus_tpu.train import (
     ssim,
-    ssim_loss,
     masked_mse,
     gradient_loss,
     ImpedanceTrainConfig,
@@ -418,7 +417,7 @@ def test_train_driver_in_memory_single_device():
     from diffus_tpu.train.driver import CaseSpec, train_impedance_cases
     from diffus_tpu.render.renderer import render_frame
     from diffus_tpu.geometry.fan import fan_directions_2d
-    from diffus_tpu.impedance.mlp import init_params, impedance_slice_zscore
+    from diffus_tpu.impedance.mlp import init_params
 
     t1, z_true, src, dirs = _tiny_scene()
     rcfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
