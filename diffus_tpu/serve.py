@@ -201,6 +201,8 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
            -> {"shape": [...], "dtype": "float32", "npy_b64": "..."}
               (frames as a base64 .npy payload — lossless and compact;
               decode with ``np.load(io.BytesIO(base64.b64decode(s)))``)
+      POST /update_volume {"npy_b64": "..."}   (same-shape volume swap:
+           new case without recompiling; tables re-staged)
 
     Returns a ``ThreadingHTTPServer`` (call ``serve_forever()``; the
     service's internal lock makes concurrent handler threads safe).
@@ -233,24 +235,28 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path != "/render":
-                self._send(404, {"error": f"unknown path {self.path}"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                sources = np.asarray(req["sources"], np.float32)
-                frames = np.asarray(service.render(sources))
-                buf = io.BytesIO()
-                np.save(buf, frames)
-                self._send(
-                    200,
-                    {
-                        "shape": list(frames.shape),
-                        "dtype": str(frames.dtype),
-                        "npy_b64": base64.b64encode(buf.getvalue()).decode(),
-                    },
-                )
+                if self.path == "/render":
+                    sources = np.asarray(req["sources"], np.float32)
+                    frames = np.asarray(service.render(sources))
+                    buf = io.BytesIO()
+                    np.save(buf, frames)
+                    self._send(
+                        200,
+                        {
+                            "shape": list(frames.shape),
+                            "dtype": str(frames.dtype),
+                            "npy_b64": base64.b64encode(buf.getvalue()).decode(),
+                        },
+                    )
+                elif self.path == "/update_volume":
+                    new = np.load(io.BytesIO(base64.b64decode(req["npy_b64"])))
+                    service.update_volume(new)
+                    self._send(200, {"ok": True, "shape": list(new.shape)})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # surface bad requests, don't kill the server
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

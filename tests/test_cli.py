@@ -195,3 +195,63 @@ def test_cli_mlp_impedance_inference(tmp_path, capsys):
             "render", "--volume", vol_path, "--out", out_path,
             "--impedance", "mlp", "--rays", "4", "--samples", "8",
         ])
+
+
+def test_cli_serve_http_update_volume():
+    """POST /update_volume swaps the case over the wire and subsequent
+    renders use it; shape mismatches return 400."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from diffus_tpu.serve import RendererService, make_http_server
+    from diffus_tpu.types import RenderConfig, BeamGeometry
+    from diffus_tpu.phantoms import brain_phantom_3d
+
+    vol = brain_phantom_3d((12, 12, 12))
+    svc = RendererService(
+        vol, BeamGeometry(n_rays=4, num_samples=8),
+        RenderConfig(attenuation_coeff=1e-4), batch_tiers=(1,),
+    )
+    server = make_http_server(svc, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"{url}{path}", data=_json.dumps(payload).encode(), method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return _json.load(r)
+
+        def frames_for(src):
+            out = post("/render", {"sources": [src]})
+            return np.load(io.BytesIO(base64.b64decode(out["npy_b64"])))
+
+        src = [6.0, 1.0, 6.0]
+        before = frames_for(src)
+        buf = io.BytesIO()
+        # structurally different volume (pure scaling leaves the
+        # reflection ratios unchanged)
+        np.save(buf, np.roll(np.asarray(vol), 4, axis=1).astype(np.float32))
+        assert post("/update_volume",
+                    {"npy_b64": base64.b64encode(buf.getvalue()).decode()})["ok"]
+        after = frames_for(src)
+        assert not np.allclose(before, after)  # the swap took effect
+        # wrong shape -> 400, service keeps serving
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((4, 4, 4), np.float32))
+        try:
+            post("/update_volume",
+                 {"npy_b64": base64.b64encode(buf.getvalue()).decode()})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert frames_for(src).shape == (1, 4, 8)
+    finally:
+        server.shutdown()
+        server.server_close()
