@@ -62,6 +62,9 @@ def sharded_render_sweep(
     refuses all non-divisible batches (padding would change the mean
     loss).
 
+    ``step`` is the voxel length of one depth sample
+    (``BeamGeometry.step``), passed through to the render.
+
     Returns device-sharded ``(x, y, z, frames)`` with a leading pose axis.
     """
     n_pose, n_ray = sources.shape[0], directions.shape[-2]
