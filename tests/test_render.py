@@ -450,3 +450,27 @@ def test_pose_recovery_trilinear_bf16_mode():
     d0 = np.linalg.norm(np.asarray(init.position) - np.asarray(true_pose.position))
     d1 = np.linalg.norm(np.asarray(pose.position) - np.asarray(true_pose.position))
     assert d1 < d0
+
+
+def test_bf16_mode_gradient_direction_matches_f32(rng):
+    """The bf16 tile mode's pose gradients must point the same way as the
+    exact trilinear gradients (cosine similarity ~1): corner quantization
+    adds noise to values, not systematic bias to the descent direction."""
+    vol = jnp.asarray(rng.uniform(0.5, 2.5, (24, 24, 24)).astype(np.float32))
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40.0), 8)
+    target_src = jnp.asarray(np.array([12.0, 1.0, 12.0], np.float32))
+    src = jnp.asarray(np.array([12.8, 1.9, 11.4], np.float32))
+
+    def grad_for(interp):
+        cfg = RenderConfig(attenuation_coeff=1e-4, interp=interp)
+        target = render_frame(vol, target_src, dirs, 20, cfg)[3]
+
+        def loss(s):
+            return jnp.mean((render_frame(vol, s, dirs, 20, cfg)[3] - target) ** 2)
+
+        return np.asarray(jax.grad(loss)(src))
+
+    g32 = grad_for("trilinear")
+    gbf = grad_for("trilinear_bf16")
+    cos = float(np.dot(g32, gbf) / (np.linalg.norm(g32) * np.linalg.norm(gbf)))
+    assert cos > 0.98, cos
