@@ -198,14 +198,38 @@ def cmd_recover_pose(args):
     target = np.load(args.target) if args.target else np.asarray(
         render_pose(vol, TransducerPose.create(args.true_source), cfg)
     )
-    init = TransducerPose.create(args.source)
-    pose, losses = recover_pose(vol, jnp.asarray(target), init, cfg)
-    result = {
-        "loss_first": float(losses[0]),
-        "loss_last": float(losses[-1]),
-        "position": [float(v) for v in np.asarray(pose.position)],
-        "rotvec": [float(v) for v in np.asarray(pose.rotvec)],
-    }
+    if args.starts > 1:
+        # multistart: batched descents from random inits around --source
+        # (the render-MSE landscape is multi-modal); best basin wins
+        import jax
+
+        from diffus_tpu.train import recover_pose_multistart, sample_init_poses
+
+        inits = sample_init_poses(
+            jax.random.PRNGKey(args.seed), args.source, args.radius,
+            args.rot_scale, args.starts,
+        )
+        poses, all_losses, best = recover_pose_multistart(
+            vol, jnp.asarray(target), inits, cfg
+        )
+        b = int(best)
+        result = {
+            "starts": args.starts,
+            "best": b,
+            "loss_first": float(all_losses[b, 0]),
+            "loss_last": float(all_losses[b, -1]),
+            "position": [float(v) for v in np.asarray(poses.position[b])],
+            "rotvec": [float(v) for v in np.asarray(poses.rotvec[b])],
+        }
+    else:
+        init = TransducerPose.create(args.source)
+        pose, losses = recover_pose(vol, jnp.asarray(target), init, cfg)
+        result = {
+            "loss_first": float(losses[0]),
+            "loss_last": float(losses[-1]),
+            "position": [float(v) for v in np.asarray(pose.position)],
+            "rotvec": [float(v) for v in np.asarray(pose.rotvec)],
+        }
     print(json.dumps(result))
 
 
@@ -458,6 +482,12 @@ def main(argv=None):
     p.add_argument("--attenuation", type=float, default=1e-4)
     p.add_argument("--lr", type=float, default=0.05)
     p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--starts", type=int, default=1,
+                   help=">1: multistart descents from random inits")
+    p.add_argument("--radius", type=float, default=4.0,
+                   help="multistart position-init ball (voxels)")
+    p.add_argument("--rot-scale", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_recover_pose)
 
     p = sub.add_parser("selftest", help="end-to-end parity smoke test")

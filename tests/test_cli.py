@@ -255,3 +255,17 @@ def test_cli_serve_http_update_volume():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_cli_recover_pose_multistart(tmp_path, capsys):
+    vol_path = os.path.join(str(tmp_path), "t1.nii.gz")
+    save_nifti(vol_path, t1_phantom_3d((20, 20, 20)))
+    rc = main([
+        "recover-pose", "--volume", vol_path,
+        "--true-source", "10", "1", "10", "--source", "11.5", "2.0", "9.5",
+        "--rays", "6", "--samples", "12", "--steps", "25", "--lr", "0.05",
+        "--starts", "4", "--radius", "1.0",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["starts"] == 4 and 0 <= out["best"] < 4
+    assert out["loss_last"] <= out["loss_first"]
