@@ -79,6 +79,22 @@ def main():
     )
     results["train_step_ms"] = round(dt, 2)
 
+    # the flagship GPU-notebook objective: 1-SSIM on the splatted image
+    scfg = ImpedanceTrainConfig(
+        num_samples=samples, slice_index=dim // 2, lr=0.01,
+        loss="ssim", image_shape=(128, 128), splat_axes=(0, 1),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
+    starget = splat_frame((x, y, None), frame, (0, 1), (128, 128))
+
+    def ssim_step(src):
+        return train_step(params, opt_state, t1, starget, mask, src, dirs, scfg)[2]
+
+    dt = readback_time_ms(
+        ssim_step, [(s[1],) for s in sets], n=6, sync_ms=sync_ms,
+    )
+    results["train_step_ssim_ms"] = round(dt, 2)
+
     # config 4: one pose-recovery gradient step
     geom = BeamGeometry(n_rays=64, num_samples=128)
     pcfg = PoseRecoveryConfig(
