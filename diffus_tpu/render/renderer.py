@@ -355,16 +355,17 @@ def render_bmode(
 def _sweep_chunk(pose_batch: int, config: RenderConfig) -> int:
     """Default pose-chunk size for :func:`render_sweep`.
 
-    Measured on v5e (docs/benchmarking.md): the trilinear 8-corner
-    row-gather makes XLA materialize ~80 MB of gather intermediates *per
-    pose*, and beyond ~8 poses per compiled vmap the temp working set
-    (2.6 GB at 32 poses) collapses throughput 3-4x (12.0 -> 3.8 ms/frame
-    when chunked by 8).  Nearest is unaffected.  Returns the largest
-    divisor of ``pose_batch`` that is <= 8 for trilinear-mode sweeps,
-    else ``pose_batch`` (no chunking).
+    Measured on v5e (docs/benchmarking.md): trilinear gathers make XLA
+    materialize large per-pose intermediates, and beyond ~8 poses per
+    compiled vmap the temp working set collapses throughput 2-4x.  With
+    tile tables prepared per dispatch (r3) the small-chunk penalty of r2
+    (per-chunk table rebuild) is gone and chunk 4 measures ~5% faster
+    than 8 (1.01 vs 1.06-1.11 ms/frame at the benchmark config), so the
+    default is the largest divisor of ``pose_batch`` that is <= 4 for
+    trilinear-mode sweeps; nearest is unaffected (no chunking).
     """
-    if config.interp.startswith("trilinear") and pose_batch > 8:
-        for c in (8, 7, 6, 5, 4, 3, 2):
+    if config.interp.startswith("trilinear") and pose_batch > 4:
+        for c in (4, 3, 2):
             if pose_batch % c == 0:
                 return c
         return 1
