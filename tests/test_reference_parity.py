@@ -391,7 +391,7 @@ def test_mri_us_point_mapping_matches_reference():
     np.testing.assert_allclose(np.asarray(got_slice), want_slice, rtol=1e-6)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzzed_config_matches_executed_reference(seed):
     """Randomized configs against the reference's own plot_beam_frame
     (complements the oracle fuzz in test_fuzz_parity.py): random volume
