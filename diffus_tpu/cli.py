@@ -36,10 +36,21 @@ def _load_volume(path: str):
     if not os.path.exists(path):
         raise SystemExit(f"error: volume file not found: {path}")
     if path.endswith(".npy"):
-        return np.load(path).astype(np.float32)
-    from diffus_tpu.io import load_nifti
+        data = np.load(path).astype(np.float32)
+    else:
+        from diffus_tpu.io import load_nifti
 
-    data, _, _ = load_nifti(path)
+        data, _, _ = load_nifti(path)
+    # real-world NIfTI is often 4D with a singleton time/channel axis
+    while data.ndim > 3 and 1 in data.shape:
+        data = np.squeeze(
+            data, axis=int(np.argwhere(np.asarray(data.shape) == 1)[0][0])
+        )
+    if data.ndim != 3:
+        raise SystemExit(
+            f"error: volume {path!r} has shape {data.shape}; need 3D "
+            "(or 4D with singleton axes)"
+        )
     return data
 
 

@@ -213,6 +213,12 @@ def render_frame(
         volume = volume.data
     from diffus_tpu.ops.sampling import TileVolume, Tile3dVolume
 
+    if len(volume.shape) != 3:
+        raise ValueError(
+            f"render_frame needs a 3D (D, H, W) volume, got shape "
+            f"{tuple(volume.shape)} — squeeze singleton axes first"
+        )
+
     if config.dtype == "bfloat16" and not isinstance(
         volume, (TileVolume, Tile3dVolume)
     ):

@@ -269,3 +269,16 @@ def test_cli_recover_pose_multistart(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["starts"] == 4 and 0 <= out["best"] < 4
     assert out["loss_last"] <= out["loss_first"]
+
+
+def test_cli_squeezes_4d_nifti(tmp_path, capsys):
+    """Real-world NIfTI is often (D, H, W, 1); the CLI squeezes singleton
+    axes instead of failing in the renderer."""
+    vol_path = os.path.join(str(tmp_path), "t4.nii.gz")
+    save_nifti(vol_path, t1_phantom_3d((16, 16, 16))[..., None])
+    out_path = os.path.join(str(tmp_path), "f.npy")
+    rc = main([
+        "render", "--volume", vol_path, "--out", out_path,
+        "--source", "8", "1", "8", "--rays", "4", "--samples", "10",
+    ])
+    assert rc == 0 and np.load(out_path).shape == (4, 10)

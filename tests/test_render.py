@@ -474,3 +474,12 @@ def test_bf16_mode_gradient_direction_matches_f32(rng):
     gbf = grad_for("trilinear_bf16")
     cos = float(np.dot(g32, gbf) / (np.linalg.norm(g32) * np.linalg.norm(gbf)))
     assert cos > 0.98, cos
+
+
+def test_render_frame_rejects_non_3d():
+    with np.testing.assert_raises_regex(ValueError, "3D"):
+        render_frame(
+            jnp.ones((4, 4, 4, 1)), jnp.zeros(3),
+            jnp.asarray(np.ones((2, 3), np.float32)), 4,
+            RenderConfig(attenuation_coeff=1e-4),
+        )
