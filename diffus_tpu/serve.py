@@ -191,7 +191,7 @@ class RendererService:
 
 
 def make_http_server(service: RendererService, host: str = "127.0.0.1",
-                     port: int = 8080):
+                     port: int = 8080, max_body_bytes: int = 1 << 30):
     """Minimal stdlib HTTP front-end for :class:`RendererService`.
 
     Endpoints (JSON):
@@ -206,6 +206,10 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
 
     Returns a ``ThreadingHTTPServer`` (call ``serve_forever()``; the
     service's internal lock makes concurrent handler threads safe).
+    Bodies above ``max_body_bytes`` (default 1 GiB — covers a 512^3 f32
+    volume as base64) are rejected with 413 before being read.  The
+    endpoint is unauthenticated: deploy behind a trusted network or an
+    authenticating proxy.
     """
     import base64
     import io
@@ -237,6 +241,9 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    self._send(413, {"error": f"body {n} bytes > limit {max_body_bytes}"})
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/render":
                     sources = np.asarray(req["sources"], np.float32)
