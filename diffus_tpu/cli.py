@@ -344,10 +344,16 @@ def cmd_serve(args):
         opening_angle=float(np.radians(args.angle)),
     )
     cfg = RenderConfig(attenuation_coeff=args.attenuation, interp=args.interp)
+    mesh = None
+    if args.mesh_pose > 1 or args.mesh_ray > 1:
+        from diffus_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_pose, args.mesh_ray)
     svc = RendererService(
         vol, geom, cfg,
         median_direction=args.direction,
         batch_tiers=tuple(args.tiers),
+        mesh=mesh,
     )
     warm = svc.warmup()
     server = make_http_server(svc, host=args.host, port=args.port)
@@ -476,6 +482,9 @@ def main(argv=None):
     p.add_argument("--interp", default="nearest",
                    choices=["nearest", "trilinear", "trilinear_bf16"])
     p.add_argument("--tiers", type=int, nargs="+", default=[1, 8, 32])
+    p.add_argument("--mesh-pose", type=int, default=1,
+                   help=">1: serve over a (pose, ray) device mesh")
+    p.add_argument("--mesh-ray", type=int, default=1)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.set_defaults(fn=cmd_serve)
