@@ -112,6 +112,22 @@ def main():
     )
     assert parity_err < 1e-3, f"parity check failed: {parity_err}"
 
+    # tile-trilinear guard: the TPU tile gather must match the plain
+    # trilinear formulation on device (catches tile-table regressions
+    # that CPU tests cannot see)
+    from diffus_tpu.ops.sampling import (
+        ray_points, sample_trilinear, sample_trilinear_tile,
+    )
+
+    g_pts = ray_points(s_src + 0.37, s_dirs, 24)
+    _, tri_plain = sample_trilinear(small, g_pts)
+    _, tri_tile = sample_trilinear_tile(small, g_pts)
+    tile_err = float(
+        np.max(np.abs(np.asarray(tri_plain) - np.asarray(tri_tile)))
+        / (np.max(np.abs(np.asarray(tri_plain))) + 1e-12)
+    )
+    assert tile_err < 1e-5, f"tile trilinear guard failed: {tile_err}"
+
     # --- relay sync overhead (subtracted from readback-closed timings) ---
     # `block_until_ready` through the execution relay can RETURN EARLY
     # (observed: a 32-pose sweep "timed" at 983k fps); every timed loop

@@ -109,15 +109,16 @@ def test_service_concurrent_render_and_swap(svc, rng):
     assert stats["frames"] == base_frames + 2 * len(renders)
 
 
-def test_service_meshed_matches_single_device():
+@pytest.mark.parametrize("interp", ["trilinear", "trilinear_bf16"])
+def test_service_meshed_matches_single_device(interp):
     """Multi-chip serving: a RendererService over a (2, 4) mesh returns
     the same frames as the single-device service (padded tiers, prepared
-    tables and all)."""
+    tables and all; both tile table kinds ride the mesh as pytrees)."""
     from diffus_tpu.parallel import make_mesh
 
     vol = brain_phantom_3d((24, 24, 24))
     geom = BeamGeometry(n_rays=8, num_samples=16, opening_angle=np.radians(40))
-    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp=interp)
     single = RendererService(vol, geom, cfg, batch_tiers=(1, 4))
     meshed = RendererService(
         vol, geom, cfg, batch_tiers=(1, 4), mesh=make_mesh(2, 4)
