@@ -106,4 +106,5 @@ def main():
     timeit("f_full_bf16_c32", fullbf32, lambda: (volume, next(si), dirs))
     print(json.dumps(results))
 
-main()
+if __name__ == "__main__":
+    main()

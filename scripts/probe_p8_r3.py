@@ -34,4 +34,5 @@ def main():
     timeit("near_p8_ms", RenderConfig(attenuation_coeff=1e-4))
     print(json.dumps(results))
 
-main()
+if __name__ == "__main__":
+    main()
