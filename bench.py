@@ -37,7 +37,7 @@ VOLUME_DIM = 256
 POSE_BATCH = 32
 SWEEP_ITERS = 24   # every timed call gets UNIQUE inputs: the execution relay
                    # caches identical-input dispatches and reports fantasy fps
-TRILINEAR_ITERS = 6
+TRILINEAR_ITERS = 12  # sync jitter is ~±10 ms; 12x ~35 ms dispatches keep its share <7%
 REFERENCE_FPS = 0.28
 TARGET_FPS = 1000.0
 CACHE_DIR = "/root/repo/.jax_cache"
