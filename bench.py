@@ -161,33 +161,46 @@ def main():
     # --- training-mode (trilinear) throughput, same headline shapes ---
     # readback-timed: the auto-chunked sweep (lax.map) defeats
     # block_until_ready through the execution relay (reports fantasy fps)
+    # median of 3 INDEPENDENT timed loops, spread reported: a bar passed
+    # on one loop's lucky relay draw is not passed (VERDICT r3 weak #1);
+    # every dispatch still gets unique inputs (relay caching)
+    TRI_REPS = 3
     tri_sets = [
         jnp.asarray(
             base[None, :] + rng.uniform(-8, 8, (POSE_BATCH, 3)).astype(np.float32)
         )
-        for _ in range(2 * (TRILINEAR_ITERS + 1))
+        for _ in range((TRI_REPS + 1) * (TRILINEAR_ITERS + 1))
     ]
     tri_config = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
     tri_sweep = jax.jit(
         lambda v, s, d: render_sweep(v, s, d, NUM_SAMPLES, tri_config)[3]
     )
-    tri_ms = readback_time_ms(
-        tri_sweep,
-        [(volume, tri_sets[i], directions) for i in range(TRILINEAR_ITERS + 1)],
-        n=TRILINEAR_ITERS,
-        sync_ms=sync_ms,
-    )
-    trilinear_fps = POSE_BATCH / tri_ms * 1e3
+    tri_fps_runs = []
+    for rep in range(TRI_REPS):
+        offs = rep * (TRILINEAR_ITERS + 1)
+        tri_ms_rep = readback_time_ms(
+            tri_sweep,
+            [
+                (volume, tri_sets[offs + i], directions)
+                for i in range(TRILINEAR_ITERS + 1)
+            ],
+            n=TRILINEAR_ITERS,
+            sync_ms=sync_ms,
+        )
+        tri_fps_runs.append(POSE_BATCH / tri_ms_rep * 1e3)
+    trilinear_fps = float(np.median(tri_fps_runs))
+    tri_ms = POSE_BATCH / trilinear_fps * 1e3  # median ms/batch for roofline
 
     # opt-in one-gather 3D-tile mode (bf16 corners, f32 weights)
     bf_config = RenderConfig(attenuation_coeff=1e-4, interp="trilinear_bf16")
     bf_sweep = jax.jit(
         lambda v, s, d: render_sweep(v, s, d, NUM_SAMPLES, bf_config)[3]
     )
+    bf_offs = TRI_REPS * (TRILINEAR_ITERS + 1)
     bf_ms = readback_time_ms(
         bf_sweep,
         [
-            (volume, tri_sets[TRILINEAR_ITERS + 1 + i], directions)
+            (volume, tri_sets[bf_offs + i], directions)
             for i in range(TRILINEAR_ITERS + 1)
         ],
         n=TRILINEAR_ITERS,
@@ -280,6 +293,7 @@ def main():
                 "vs_baseline": round(fps / REFERENCE_FPS, 1),
                 "single_frame_latency_ms": round(single_ms, 3),
                 "trilinear_fps": round(trilinear_fps, 1),
+                "trilinear_fps_runs": [round(f, 1) for f in sorted(tri_fps_runs)],
                 "trilinear_bf16_fps": round(trilinear_bf16_fps, 1),
                 "nearest_roofline": gather,
                 "trilinear_roofline": gather_tri,

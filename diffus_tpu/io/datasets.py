@@ -91,6 +91,15 @@ class MRIDataset:
             "path": self.paths[idx],
         }
 
+    def plot_voxels(self, idx: int = 0, threshold: float = 0.5, **kwargs):
+        """Voxel-grid cuboid display of item ``idx`` — the reference's
+        ``MRIDataset.plot_voxels`` (``src/datatype.py:153-172``); the
+        rendering itself lives host-side in
+        :func:`diffus_tpu.viz.plots.plot_voxels`."""
+        from diffus_tpu.viz.plots import plot_voxels
+
+        return plot_voxels(self[idx]["image"][0], threshold=threshold, **kwargs)
+
 
 class iUSDataset(MedicalVolumeDataset):
     def __init__(self, path: str, name: str = "iUS", axis: int = 0):

@@ -10,7 +10,7 @@ is declared with ``NamedSharding`` and XLA inserts the collectives
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,20 @@ def _pad_axis(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     reps = [1] * x.ndim
     reps[axis] = pad
     return jnp.concatenate([x, jnp.tile(last, reps)], axis=axis)
+
+
+@lru_cache(maxsize=64)
+def _sweep_jit(num_samples: int, config: RenderConfig, step: float):
+    """Compile-once jitted sweep shared across calls/services.
+
+    A fresh ``jax.jit(lambda ...)`` per call (the r3 code) started with an
+    empty trace cache, so every serving request retraced the whole sweep
+    (ADVICE r3, medium).  The jit cache itself keys on input shapes AND
+    shardings, so one cached wrapper per static config serves every mesh.
+    """
+    return jax.jit(
+        lambda v, s, d: render_sweep(v, s, d, num_samples, config, step=step)
+    )
 
 
 def sharded_render_sweep(
@@ -86,17 +100,13 @@ def sharded_render_sweep(
     src_s = jax.device_put(sources, NamedSharding(mesh, P("pose")))
     dir_s = jax.device_put(directions, NamedSharding(mesh, P("pose", "ray")))
 
-    fn = jax.jit(
-        lambda v, s, d: render_sweep(v, s, d, num_samples, config, step=step),
-        static_argnames=(),
-    )
-    out = fn(vol_s, src_s, dir_s)
+    out = _sweep_jit(num_samples, config, step)(vol_s, src_s, dir_s)
     if sources.shape[0] != n_pose or directions.shape[1] != n_ray:
         out = tuple(o[:n_pose, :n_ray] for o in out)
     return out
 
 
-def make_sharded_train_step(mesh: Mesh, cfg, hidden=(32, 32), lr: float = 0.01):
+def make_sharded_train_step(mesh: Mesh, cfg, lr: float = 0.01):
     """Data-parallel renderer-in-the-loop training step over the mesh.
 
     The batch axis (scenes: volume/targets/pose per element) shards over
@@ -137,7 +147,7 @@ def make_sharded_train_step(mesh: Mesh, cfg, hidden=(32, 32), lr: float = 0.01):
 
         def scene_loss(params, t1_volume, target, mask, source, directions):
             x_slice = t1_volume[:, :, cfg.slice_index]
-            z_slice = impedance_slice_zscore(params, x_slice, hidden=tuple(hidden))
+            z_slice = impedance_slice_zscore(params, x_slice, hidden=tuple(cfg.hidden))
             z_vol = t1_volume.at[:, :, cfg.slice_index].set(z_slice)
             _, _, _, frame = render_frame(
                 z_vol, source, directions, cfg.num_samples, cfg.render

@@ -415,12 +415,21 @@ def render_sweep(
     resolved = _resolve_sampler(config.interp)
     if resolved in ("trilinear_tile", "trilinear_tile3d_bf16"):
         from diffus_tpu.ops.sampling import (
+            TileVolume,
+            Tile3dVolume,
             prepare_tile_volume,
             prepare_tile3d_volume,
         )
 
         if isinstance(volume, Volume):
             volume = volume.data
+        if config.dtype == "bfloat16" and not isinstance(
+            volume, (TileVolume, Tile3dVolume)
+        ):
+            # mirror render_frame's serving-mode cast BEFORE the table
+            # build: without it a sweep silently prepared an f32 table
+            # while the single-frame path served bf16 (ADVICE r3)
+            volume = volume.astype(jnp.bfloat16)
         if resolved == "trilinear_tile":
             volume = prepare_tile_volume(volume)
         else:

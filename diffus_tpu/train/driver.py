@@ -126,9 +126,7 @@ def train_impedance_cases(
             f"len(cases)={len(cases)} must divide into batch_size={batch_size} "
             f"batches that divide the mesh pose axis ({pose_m})"
         )
-    step_fn, init_opt = make_sharded_train_step(
-        mesh, cfg, hidden=cfg.hidden, lr=cfg.lr
-    )
+    step_fn, init_opt = make_sharded_train_step(mesh, cfg, lr=cfg.lr)
     params = init_params(key, hidden=cfg.hidden)
     opt_state = init_opt(params)
     start_epoch = 0

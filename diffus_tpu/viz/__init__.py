@@ -9,6 +9,7 @@ from diffus_tpu.viz.plots import (
     plot_median_line,
     plot_aligned_pair,
     plot_volume_3d,
+    plot_voxels,
     plot_slice,
     plot_slices,
 )

@@ -130,6 +130,32 @@ def plot_volume_3d(volume, threshold: float = 0.5, max_points: int = 20000,
     return ax
 
 
+def plot_voxels(volume, threshold: float = 0.5, max_dim: int = 32, ax=None,
+                color="tab:blue", alpha: float = 0.3):
+    """Binary voxel-grid (cuboid) display of supra-threshold voxels —
+    ``MRIDataset.plot_voxels`` (``src/datatype.py:153-172``: min-max
+    normalize, threshold at 0.5, plotly Scatter3d in (z, y, x) axis
+    order).  Rendered as matplotlib ``ax.voxels`` cuboids (plotly is not
+    in this image); the reference's (z, y, x) display order is kept.
+    Volumes larger than ``max_dim`` per axis are strided down first —
+    the cuboid mesh cost grows with the full grid, not the filled count.
+
+    Returns the 3D axes (display is the caller's ``plt.show()``).
+    """
+    plt = _plt()
+    vol = np.asarray(volume, dtype=np.float64)
+    vol = (vol - vol.min()) / (vol.max() - vol.min() + 1e-12)
+    binary = (vol > threshold).transpose(2, 1, 0)  # (z, y, x), datatype.py:161
+    stride = max(1, int(np.ceil(max(binary.shape) / max_dim)))
+    binary = binary[::stride, ::stride, ::stride]
+    if ax is None:
+        fig = plt.figure(figsize=(7, 7))
+        ax = fig.add_subplot(projection="3d")
+    ax.voxels(binary, facecolors=color, alpha=alpha)
+    ax.set_box_aspect(binary.shape)
+    return ax
+
+
 _ORIENTATIONS = {0: "axial", 1: "coronal", 2: "sagittal"}
 
 

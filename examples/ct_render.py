@@ -13,6 +13,7 @@ phantoms, or on real volumes via ``--volume``.
 import argparse
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from diffus_tpu.types import RenderConfig
@@ -32,10 +33,55 @@ from diffus_tpu.phantoms import (
 )
 
 
+# The CT lung calibration opening angle carried across the reference's CT
+# notebooks (``[DEMO] CT Vivek data.ipynb`` cell 6).
+CT_OPENING_ANGLE = 0.9157579425453843
+
+# The three canonical stored views of ``[DEMO] CT Render Lung.ipynb``
+# (cells 14-28), as configs the way ``CASE_PRESETS`` stores ReMIND poses.
+# ``generate_cone_directions`` builds the fan in the (x, y) plane from the
+# first two direction components (``src/cone.py:242-258``); the notebook
+# then permutes columns (``directions[:, [2, 1, 0]]`` etc.) and flips
+# signs — ``perm``/``flip`` record the COMPOSED column permutation and
+# sign flips.  ``source`` is in the private ``ctLung.nii.gz`` volume's
+# voxel coordinates (not shipped); rendering a phantom keeps the view's
+# beam geometry and uses the standard phantom source instead.
+CT_VIEW_PRESETS = {
+    # cells 16-17: direction [-1, 0.4] (3rd comp unused by the reference
+    # fan gen), 1.5x opening, 100 samples, start=10, no artifacts
+    "front": dict(source=(490.0, 180.0, 120.0), direction=(-1.0, 0.4),
+                  opening_scale=1.5, perm=(0, 1, 2), flip=(1, 1, 1),
+                  n_rays=200, num_samples=100, start=10, artifacts=False),
+    # cells 20-21: fan permuted [2, 1, 0] with the y column negated,
+    # 80 samples, start=5, artifacts on
+    "side": dict(source=(136.0, 8.0, 19.0), direction=(0.0, -1.0),
+                 opening_scale=1.0, perm=(2, 1, 0), flip=(1, -1, 1),
+                 n_rays=200, num_samples=80, start=5, artifacts=True),
+    # cells 25-28: permutation chain [2,1,0] -> [1,2,0] -> [0,2,1]
+    # composes to [1, 2, 0]; 1.2x opening, start=20, artifacts on
+    "third": dict(source=(20.0, 160.0, 120.0), direction=(0.0, -1.0),
+                  opening_scale=1.2, perm=(1, 2, 0), flip=(1, 1, 1),
+                  n_rays=200, num_samples=100, start=20, artifacts=True),
+}
+
+
+def view_directions(view: str, n_rays: int | None = None) -> jnp.ndarray:
+    """Fan directions for a stored CT view (permutation + flips applied)."""
+    p = CT_VIEW_PRESETS[view]
+    fan = fan_directions_2d(
+        p["direction"], p["opening_scale"] * CT_OPENING_ANGLE,
+        n_rays or p["n_rays"],
+    )
+    fan = fan[:, list(p["perm"])] * jnp.asarray(p["flip"], fan.dtype)
+    return fan
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--modality", default="ct",
                     choices=["ct", "ct-crude", "transcranial", "mri", "heart"])
+    ap.add_argument("--view", default=None, choices=sorted(CT_VIEW_PRESETS),
+                    help="stored CT lung view preset (overrides rays/samples)")
     ap.add_argument("--volume", default=None, help="optional NIfTI/np volume")
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--rays", type=int, default=200)   # CT notebook config
@@ -74,9 +120,23 @@ def main():
     # to exactly Z=0, and a ray born in a Z=0 region NaNs out (and is
     # zeroed, faithfully to the reference's nan_to_num semantics)
     src = jnp.array([half, 0.2 * raw.shape[1], half])
-    dirs = fan_directions_2d([0.0, 1.0], np.radians(50.0), args.rays)
-    cfg = RenderConfig(attenuation_coeff=1e-4)
-    _, _, _, frame = render_frame(z_vol, src, dirs, args.samples, cfg)
+    key = None
+    if args.view:
+        p = CT_VIEW_PRESETS[args.view]
+        dirs = view_directions(args.view)
+        samples = p["num_samples"]
+        cfg = RenderConfig(
+            attenuation_coeff=1e-4, start=p["start"], artifacts=p["artifacts"]
+        )
+        if args.volume:
+            src = jnp.asarray(p["source"])  # notebook voxel coords
+        if p["artifacts"]:
+            key = jax.random.PRNGKey(0)
+    else:
+        dirs = fan_directions_2d([0.0, 1.0], np.radians(50.0), args.rays)
+        samples = args.samples
+        cfg = RenderConfig(attenuation_coeff=1e-4)
+    _, _, _, frame = render_frame(z_vol, src, dirs, samples, cfg, key)
 
     import matplotlib
 

@@ -507,3 +507,40 @@ def test_speckle_arcs_moments_match_reference():
     assert s_ours[-5:].mean() > 1.5 * s_ours[:5].mean()
     # clipped-at-zero semantics on both sides
     assert ref_stack.min() >= 0 and ours_stack.min() >= 0
+
+
+def test_headline_depth_three_way_parity():
+    """Executed-reference parity at >=256 depth samples (VERDICT r3 weak
+    #4): the headline bench runs 512-deep rays, but executed-reference
+    checks previously stopped at 128 samples, leaving deep-ray
+    correctness to the numpy oracle alone.  3 rays keep the reference's
+    257 growing dense solves (up to 514x514 batched systems,
+    ``renderer.py:412-436``) tractable; the rays exit the 96^3 volume
+    well before 256 steps, so the clamped deep tail (constant impedance
+    -> zero reflection) is exercised at depth too."""
+    rng = np.random.default_rng(17)
+    vol = brain_phantom_3d((96, 96, 96))
+    vol = vol * (1.0 + 0.05 * rng.uniform(-1, 1, vol.shape)).astype(np.float32)
+    src = np.array([48.0, 4.0, 48.0], np.float32)
+    dirs = np.asarray(
+        fan_directions_2d([0.0, 1.0], np.radians(40.0), 3), np.float32
+    )
+    num_samples, att, start = 256, 1e-4, 0
+
+    rx, ry, rz, r_out = _reference_frame(
+        _get_ref(), vol, src, dirs, num_samples, att, start
+    )
+    config = RenderConfig(attenuation_coeff=att, start=start)
+    ox, oy, oz, ours = render_frame(
+        jnp.asarray(vol), jnp.asarray(src), jnp.asarray(dirs), num_samples, config
+    )
+    np.testing.assert_array_equal(np.asarray(ox), rx)
+    np.testing.assert_array_equal(np.asarray(oy), ry)
+    np.testing.assert_array_equal(np.asarray(oz), rz)
+    scale = np.max(np.abs(r_out)) + 1e-30
+    err = np.max(np.abs(np.asarray(ours) - r_out)) / scale
+    assert err < 1e-4, f"ours vs executed reference at depth 256: {err}"
+
+    _, _, _, oracle = render_frame_dense(vol, src, dirs, num_samples, att, 0)
+    err_oracle = np.max(np.abs(oracle - r_out)) / scale
+    assert err_oracle < 1e-6, f"oracle vs reference at depth 256: {err_oracle}"
