@@ -119,6 +119,22 @@ def main():
     dt = robust_readback_time_ms(pose_grad, [(s,) for s in pose_srcs], n=96)
     results["pose_grad_step_ms"] = round(dt, 2)
 
+    # config 4 acceptance: multistart annealed recovery success rate
+    # (VERDICT r3 weak #6 — "fraction of starts that recover the true
+    # pose within eps", not just a step time).  Fixed seed, fixed
+    # perturbation distribution (3-voxel ball, 0.05-rad rotations).
+    from diffus_tpu.train.pose_recovery import (
+        AnnealedPoseConfig,
+        pose_recovery_benchmark,
+    )
+
+    acfg = AnnealedPoseConfig(geometry=geom, render=pcfg.render)
+    sr = pose_recovery_benchmark(
+        vol, TransducerPose.create([dim / 2, 4.0, dim / 2]), acfg,
+        jax.random.PRNGKey(7), count=8, radius=3.0, rot_scale=0.05,
+    )
+    results["pose_recovery"] = sr
+
     results["device"] = str(jax.devices()[0])
     results["note"] = "readback-closed, sync subtracted; volume 128^3"
     print(json.dumps(results))

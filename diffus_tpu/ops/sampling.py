@@ -277,23 +277,28 @@ _TILE_TY, _TILE_TZ = 8, 16   # tile shape (one 128-lane row)
 _TILE_SY, _TILE_SZ = 7, 15   # strides: overlap of 1 guarantees corner pairs
 
 
-def _tile2d_table(volume: jax.Array):
+def _tile2d_table(volume: jax.Array, sy: int = _TILE_SY, sz: int = _TILE_SZ):
     """Overlapped (y, z) tile table: row ``(x*na + a)*nb + b`` holds
-    ``volume[x, 7a:7a+8, 15b:15b+16]`` flattened C-order.
+    ``volume[x, sy*a : sy*a+8, sz*b : sz*b+16]`` flattened C-order.
 
     Built with two static contiguous-index takes (NOT
     ``conv_general_dilated_patches``, whose TPU lowering routes the
     one-hot conv through the MXU with bf16 rounding — measured 4e-5
     relative corruption of the table values).
+
+    Default strides (7, 15) overlap by 1 (per-sample corner pairs);
+    strides (6, 14) overlap by 2 and guarantee containment of the
+    corner span of TWO consecutive unit-step ray samples (the
+    depth-amortized K=2 sampler, round 4).
     """
     d, h, w = volume.shape
-    na = (h - 1) // _TILE_SY + 1
-    nb = (w - 1) // _TILE_SZ + 1
-    ph = _TILE_SY * (na - 1) + _TILE_TY - h
-    pw = _TILE_SZ * (nb - 1) + _TILE_TZ - w
+    na = (h - 1) // sy + 1
+    nb = (w - 1) // sz + 1
+    ph = sy * (na - 1) + _TILE_TY - h
+    pw = sz * (nb - 1) + _TILE_TZ - w
     vp = jnp.pad(volume, ((0, 0), (0, ph), (0, pw)))
-    yi = (np.arange(na)[:, None] * _TILE_SY + np.arange(_TILE_TY)[None, :]).ravel()
-    zi = (np.arange(nb)[:, None] * _TILE_SZ + np.arange(_TILE_TZ)[None, :]).ravel()
+    yi = (np.arange(na)[:, None] * sy + np.arange(_TILE_TY)[None, :]).ravel()
+    zi = (np.arange(nb)[:, None] * sz + np.arange(_TILE_TZ)[None, :]).ravel()
     t = jnp.take(jnp.take(vp, yi, axis=1), zi, axis=2)
     t = t.reshape(d, na, _TILE_TY, nb, _TILE_TZ).transpose(0, 1, 3, 2, 4)
     return t.reshape(d * na * nb, _TILE_TY * _TILE_TZ), na, nb
@@ -308,29 +313,39 @@ class TileVolume:
     it per chunk; preparing once — per dispatch in ``render_sweep``, or
     fully host-side for a long-lived service — removes that.  A pytree,
     so it passes through jit/vmap boundaries like an array.
+
+    ``sy``/``sz`` are the tile strides (static aux data): (7, 15) is the
+    per-sample table, (6, 14) the K=2 depth-amortized one.
     """
 
-    def __init__(self, table, na: int, nb: int, shape: tuple):
+    def __init__(self, table, na: int, nb: int, shape: tuple,
+                 sy: int = _TILE_SY, sz: int = _TILE_SZ):
         self.table = table
         self.na = int(na)
         self.nb = int(nb)
         self.shape = tuple(shape)
+        self.sy = int(sy)
+        self.sz = int(sz)
 
     def tree_flatten(self):
-        return (self.table,), (self.na, self.nb, self.shape)
+        return (self.table,), (self.na, self.nb, self.shape, self.sy, self.sz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
 
 
-def prepare_tile_volume(volume) -> TileVolume:
+def prepare_tile_volume(volume, sy: int = _TILE_SY, sz: int = _TILE_SZ) -> TileVolume:
     """Build (or pass through) the overlapped 2D tile table for
-    :func:`sample_trilinear_tile`."""
+    :func:`sample_trilinear_tile` (strides (7, 15)) or the K=2 sampler
+    (strides (6, 14))."""
     if isinstance(volume, TileVolume):
+        # pass through as-is: sample_trilinear_tile handles any overlap
+        # >= 1 (it reads tv.sy/tv.sz); samplers with stricter stride
+        # requirements (K=2) validate on their own
         return volume
-    table, na, nb = _tile2d_table(volume)
-    return TileVolume(table, na, nb, tuple(volume.shape))
+    table, na, nb = _tile2d_table(volume, sy, sz)
+    return TileVolume(table, na, nb, tuple(volume.shape), sy, sz)
 
 
 def sample_trilinear_tile(volume, points: jax.Array):
@@ -356,8 +371,8 @@ def sample_trilinear_tile(volume, points: jax.Array):
 
     y0, z0 = i0[..., 1], i0[..., 2]
     dy, dz = i1[..., 1] - y0, i1[..., 2] - z0
-    a, b = y0 // _TILE_SY, z0 // _TILE_SZ
-    ly, lz = y0 - a * _TILE_SY, z0 - b * _TILE_SZ
+    a, b = y0 // tv.sy, z0 // tv.sz
+    ly, lz = y0 - a * tv.sy, z0 - b * tv.sz
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
 
     lanes = jnp.arange(_TILE_TY * _TILE_TZ, dtype=jnp.int32)
@@ -381,6 +396,156 @@ def sample_trilinear_tile(volume, points: jax.Array):
         rows = jnp.take(table, (xv * na + a) * nb + b, axis=0)
         vals.append(jnp.sum(rows * w_yz, axis=-1))
     values = vals[0] * (1 - fx) + vals[1] * fx
+
+    dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
+    return idx, values
+
+
+_K2_SY, _K2_SZ = 6, 14   # overlap 2: contains BOTH samples' corner spans
+
+
+def sample_trilinear_tile_k2(volume, points: jax.Array):
+    """Depth-amortized tile trilinear: 3 row gathers per PAIR of
+    consecutive depth samples (1.5 takes/sample vs 2) — VERDICT r3 #1.
+
+    A unit-step ray moves at most one voxel per axis per depth step, so
+    the trilinear corner spans of two consecutive samples cover at most
+    3 consecutive values per axis.  An (8, 16) tile with strides (6, 14)
+    (overlap 2) therefore CONTAINS the whole pair's (y, z) corner set in
+    the tile at ``(min_y // 6, min_z // 14)``; the pair needs only the
+    x-planes ``xmin .. xmin+2`` — three takes serve all eight corners of
+    both samples.  Exact (same clamp/corner math as
+    :func:`sample_trilinear_tile`, values to ULPs).
+
+    Requirements: ``points`` is ``(..., S, 3)`` with consecutive samples
+    along the second-to-last axis at most 1 voxel apart per axis (unit
+    direction, ``step <= 1``).  Odd ``S`` falls back to the per-sample
+    path for the final sample.  Table is ~1.52x the volume (98 MB at
+    256^3 f32 — under the >128 MB take-cost cliff).
+
+    ``volume`` may be raw or a :class:`TileVolume` prepared with
+    ``prepare_tile_volume(volume, 6, 14)``.
+    """
+    tv = prepare_tile_volume(volume, _K2_SY, _K2_SZ)
+    if (tv.sy, tv.sz) != (_K2_SY, _K2_SZ):
+        raise ValueError(
+            f"K=2 sampler needs a table with strides ({_K2_SY}, {_K2_SZ}) "
+            f"(overlap 2); got a prepared TileVolume with ({tv.sy}, {tv.sz}) "
+            "— build it with prepare_tile_volume(volume, 6, 14)"
+        )
+    table, na, nb = tv.table, tv.na, tv.nb
+    s = points.shape[-2]
+    if s % 2:
+        raise ValueError(
+            "sample_trilinear_tile_k2 needs an even sample count "
+            f"(got {s}); pad the depth axis or use sample_trilinear_tile"
+        )
+
+    dims = jnp.asarray(tv.shape, dtype=points.dtype)
+    p = jnp.clip(points, 0.0, dims - 1.0)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = p0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(tv.shape, jnp.int32) - 1)
+
+    pair = lambda arr: arr.reshape(arr.shape[:-2] + (s // 2, 2) + arr.shape[-1:])
+    i0p = pair(i0)          # (..., S/2, 2, 3)
+    i1p = pair(i1)
+    fr = pair(frac)
+
+    x0, y0, z0 = i0p[..., 0], i0p[..., 1], i0p[..., 2]   # (..., S/2, 2)
+    dy, dz = i1p[..., 1] - y0, i1p[..., 2] - z0
+    fx, fy, fz = fr[..., 0], fr[..., 1], fr[..., 2]
+
+    ymin = jnp.min(y0, axis=-1)                          # (..., S/2)
+    zmin = jnp.min(z0, axis=-1)
+    xmin = jnp.min(x0, axis=-1)
+    a, b = ymin // _K2_SY, zmin // _K2_SZ
+    row_base = a * nb + b
+
+    # three static x-plane takes per pair (the transaction saving: 3
+    # rows serve 8 corners of both samples)
+    rows = [
+        jnp.take(table, (jnp.minimum(xmin + k, tv.shape[0] - 1) * na) * nb
+                 + row_base, axis=0)
+        for k in range(3)
+    ]                                                    # each (..., S/2, 128)
+
+    ly = y0 - (a * _K2_SY)[..., None]                    # (..., S/2, 2) in [0, 6]
+    lz = z0 - (b * _K2_SZ)[..., None]
+    lanes = jnp.arange(_TILE_TY * _TILE_TZ, dtype=jnp.int32)
+    l00 = ly * _TILE_TZ + lz
+    l10 = (ly + dy) * _TILE_TZ + lz
+    wz0 = (l00[..., None] == lanes) * (1 - fz)[..., None] + (
+        (l00 + dz)[..., None] == lanes
+    ) * fz[..., None]
+    wz1 = (l10[..., None] == lanes) * (1 - fz)[..., None] + (
+        (l10 + dz)[..., None] == lanes
+    ) * fz[..., None]
+    w_yz = (1 - fy)[..., None] * wz0 + fy[..., None] * wz1  # (..., S/2, 2, 128)
+
+    # per-sample x-plane selection: plane index of x0 / x1 relative to xmin
+    px0 = x0 - xmin[..., None]                           # 0 or 1
+    px1 = jnp.minimum(i1p[..., 0], tv.shape[0] - 1) - xmin[..., None]  # 0..2
+    vals = 0.0
+    for k in range(3):
+        cx = (px0 == k) * (1 - fx) + (px1 == k) * fx     # (..., S/2, 2)
+        vals = vals + jnp.sum(
+            rows[k][..., None, :] * (w_yz * cx[..., None]), axis=-1
+        )
+
+    # containment guard: consecutive samples >1 voxel apart per axis
+    # (non-unit directions / step>1) break the pair-tile premise — emit
+    # NaN loudly instead of silently sampling the wrong tile.  Cost: a
+    # few compares on the narrow (.., S/2, 2) arrays, no 128-wide work.
+    bad = (
+        (ly + dy > _TILE_TY - 1)
+        | (lz + dz > _TILE_TZ - 1)
+        | (px0 > 1)
+        | (px1 > 2)
+    )
+    vals = jnp.where(bad, jnp.nan, vals)
+
+    values = vals.reshape(points.shape[:-1])
+    dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
+    return idx, values
+
+
+def sample_trilinear_tile_fused(volume, points: jax.Array):
+    """:func:`sample_trilinear_tile` with the post-gather stage (weight
+    build + lane select + z/y/x blends) fused into one Pallas kernel pass
+    (``kernels.tile_select_pallas``) instead of ~5 XLA passes over the
+    ``(n, 128)`` row intermediates — the non-gather 48% of the exact
+    trilinear frame time (VERDICT r3 weak #2).  Gathers stay in XLA.
+
+    Same values as :func:`sample_trilinear_tile` up to blend-order ULPs;
+    differentiable w.r.t. ``points`` and ``volume`` via the kernel's
+    custom VJP (XLA backward).
+    """
+    from diffus_tpu.kernels.tile_select_pallas import tile_select
+
+    tv = prepare_tile_volume(volume)
+    table, na, nb = tv.table, tv.na, tv.nb
+    dims = jnp.asarray(tv.shape, dtype=points.dtype)
+    p = jnp.clip(points, 0.0, dims - 1.0)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = p0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(tv.shape, jnp.int32) - 1)
+
+    y0, z0 = i0[..., 1], i0[..., 2]
+    dy, dz = i1[..., 1] - y0, i1[..., 2] - z0
+    a, b = y0 // tv.sy, z0 // tv.sz
+    ly, lz = y0 - a * tv.sy, z0 - b * tv.sz
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    l00 = ly * _TILE_TZ + lz
+    l10 = (ly + dy) * _TILE_TZ + lz
+
+    rows0 = jnp.take(table, (i0[..., 0] * na + a) * nb + b, axis=0)
+    rows1 = jnp.take(table, (i1[..., 0] * na + a) * nb + b, axis=0)
+    values = tile_select(rows0, rows1, l00, l10, fx, fy, fz, dz)
 
     dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
@@ -501,5 +666,7 @@ SAMPLERS = {
     "trilinear_rows": sample_trilinear_rows,
     "trilinear_rows2": sample_trilinear_rows2,
     "trilinear_tile": sample_trilinear_tile,
+    "trilinear_tile_k2": sample_trilinear_tile_k2,
+    "trilinear_tile_fused": sample_trilinear_tile_fused,
     "trilinear_tile3d_bf16": sample_trilinear_tile3d_bf16,
 }

@@ -40,22 +40,41 @@ from diffus_tpu.ops.sampling import ray_points, SAMPLERS
 _DEFAULT_CONFIG = RenderConfig()
 
 
-def _resolve_sampler(interp: str) -> str:
+def _resolve_sampler(interp: str, num_samples: int = 0, step: float = 1.0) -> str:
     """On TPU, plain nearest upgrades to the lane-aligned row-gather
     formulation (bit-identical values, ~3x faster; see
-    ``ops.sampling.sample_nearest_rows``) and trilinear to the
-    overlapped-(y,z)-tile gather (2 row gathers/sample instead of 8,
-    ~3.9x faster, values equal to ULPs; ``sample_trilinear_tile``).
-    ``trilinear_bf16`` is the explicit opt-in one-gather 3D-tile mode.
-    Trace-time decision."""
+    ``ops.sampling.sample_nearest_rows``) and trilinear to an
+    overlapped-(y,z)-tile gather: the depth-amortized K=2 pair sampler
+    (3 row gathers per two consecutive samples, ``sample_trilinear_tile_k2``,
+    measured ~1.4x the per-sample tile path in r4) when the depth count
+    is even and ``step <= 1`` (unit directions assumed — the K=2 sampler
+    NaNs loudly if consecutive samples are >1 voxel apart per axis), the
+    per-sample tile sampler otherwise.  ``trilinear_bf16`` is the
+    explicit opt-in one-gather 3D-tile mode; ``trilinear_fused`` the
+    tile sampler with a Pallas-fused select stage (``config.use_pallas``
+    maps trilinear here; measured SLOWER than the XLA fusion on v5e —
+    kept for completeness, docs/benchmarking.md r4).  Trace-time
+    decision."""
     if interp == "trilinear_bf16":
         return "trilinear_tile3d_bf16"
+    if interp == "trilinear_fused":
+        return "trilinear_tile_fused"
     if jax.default_backend() == "tpu":
         if interp == "nearest":
             return "nearest_rows"
         if interp == "trilinear":
+            if num_samples > 0 and num_samples % 2 == 0 and step <= 1.0:
+                return "trilinear_tile_k2"
             return "trilinear_tile"
     return interp
+
+
+def _effective_interp(config: RenderConfig) -> str:
+    """``use_pallas`` means "Pallas kernels where they win": propagation
+    (``echo_pallas``) and, for trilinear, the fused tile-select stage."""
+    if config.interp == "trilinear" and config.use_pallas:
+        return "trilinear_fused"
+    return config.interp
 
 
 def trace_rays(
@@ -74,7 +93,15 @@ def trace_rays(
     ``(n_rays, num_samples)``.
     """
     points = ray_points(source, directions, num_samples, step)
-    return SAMPLERS[_resolve_sampler(interp)](volume, points)
+    resolved = _resolve_sampler(interp, num_samples, step)
+    if resolved == "trilinear_tile_k2":
+        from diffus_tpu.ops.sampling import TileVolume
+
+        # a caller may hand us a table prepared with the per-sample
+        # strides (7, 15) (the r3 workflow) — honor it rather than fail
+        if isinstance(volume, TileVolume) and (volume.sy, volume.sz) != (6, 14):
+            resolved = "trilinear_tile"
+    return SAMPLERS[resolved](volume, points)
 
 
 def simulate_rays(
@@ -174,7 +201,7 @@ def _apply_start(r: jax.Array, start: int) -> jax.Array:
     return r.at[:, 0].set(med)
 
 
-@partial(jax.jit, static_argnames=("num_samples", "config"))
+@partial(jax.jit, static_argnames=("num_samples", "config", "step"))
 def render_frame(
     volume: jax.Array,
     source: jax.Array,
@@ -233,7 +260,9 @@ def render_frame(
             f"start={config.start!r} skips all {num_samples} samples "
             f"(resolved start index {start})"
         )
-    idx, z = trace_rays(volume, source, directions, num_samples, config.interp, step)
+    idx, z = trace_rays(
+        volume, source, directions, num_samples, _effective_interp(config), step
+    )
     z = z.astype(jnp.float32)
     r = reflection_coeff(z[:, :-1], z[:, 1:])
 
@@ -412,8 +441,11 @@ def render_sweep(
     # lax.map body it is re-materialized per chunk (~0.32 ms/frame at the
     # benchmark config, measured r3); prepared here it runs once per
     # dispatch.  No-op for non-tile samplers and already-prepared input.
-    resolved = _resolve_sampler(config.interp)
-    if resolved in ("trilinear_tile", "trilinear_tile3d_bf16"):
+    resolved = _resolve_sampler(_effective_interp(config), num_samples, step)
+    if resolved in (
+        "trilinear_tile", "trilinear_tile_k2", "trilinear_tile_fused",
+        "trilinear_tile3d_bf16",
+    ):
         from diffus_tpu.ops.sampling import (
             TileVolume,
             Tile3dVolume,
@@ -430,10 +462,12 @@ def render_sweep(
             # build: without it a sweep silently prepared an f32 table
             # while the single-frame path served bf16 (ADVICE r3)
             volume = volume.astype(jnp.bfloat16)
-        if resolved == "trilinear_tile":
-            volume = prepare_tile_volume(volume)
-        else:
+        if resolved == "trilinear_tile3d_bf16":
             volume = prepare_tile3d_volume(volume)
+        elif resolved == "trilinear_tile_k2":
+            volume = prepare_tile_volume(volume, 6, 14)
+        else:
+            volume = prepare_tile_volume(volume)
     if chunk is None:
         chunk = _sweep_chunk(pose_batch, config)
     chunk = max(1, min(chunk, pose_batch))

@@ -131,16 +131,24 @@ class RendererService:
         self._staged = self._prepare(self.volume)
 
     def _prepare(self, volume):
-        from diffus_tpu.render.renderer import _resolve_sampler
+        from diffus_tpu.render.renderer import _resolve_sampler, _effective_interp
 
-        resolved = _resolve_sampler(self.config.interp)
+        resolved = _resolve_sampler(
+            _effective_interp(self.config),
+            self.geometry.num_samples,
+            float(self.geometry.step),
+        )
         staged = volume
-        if self.config.dtype == "bfloat16" and resolved == "trilinear_tile":
+        tile2d = ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_fused")
+        if self.config.dtype == "bfloat16" and resolved in tile2d:
             staged = staged.astype(jnp.bfloat16)  # match render_frame's cast
-        if resolved == "trilinear_tile":
+        if resolved in tile2d:
             from diffus_tpu.ops.sampling import prepare_tile_volume
 
-            staged = jax.jit(prepare_tile_volume)(staged)
+            strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
+            staged = jax.jit(
+                lambda v: prepare_tile_volume(v, *strides)
+            )(staged)
         elif resolved == "trilinear_tile3d_bf16":
             from diffus_tpu.ops.sampling import prepare_tile3d_volume
 

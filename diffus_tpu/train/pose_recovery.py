@@ -20,6 +20,7 @@ optimization runs as one jitted ``lax.scan``.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 
 import jax
@@ -111,6 +112,158 @@ def sample_init_poses(key, center, radius: float, rot_scale: float, count: int):
     offsets = jax.random.uniform(kp, (count, 3), minval=-radius, maxval=radius)
     rots = rot_scale * jax.random.normal(kr, (count, 3))
     return TransducerPose(position=center[None] + offsets, rotvec=rots)
+
+
+# --- annealed (coarse-to-fine) recovery: the robust production recipe ------
+#
+# Measured (round 4, CPU probes at the BASELINE config-4 workload): plain
+# Adam at the notebook's lr=1 DIVERGES on the 6-DoF chart (echo frames
+# are sparse ~1-voxel spikes; rotation axes with near-zero gradient
+# random-walk at lr per step under Adam's per-parameter normalization —
+# final rot error ~15 rad).  Three ingredients fix it: (a) separate
+# position/rotation learning rates (rotation gradients are ~100x weaker
+# and noisier), (b) cosine decay (bounds the late-phase walk), and
+# (c) a coarse-to-fine blur schedule on the frames (widens the MSE basin
+# from ~1 voxel to several).  The loss landscape itself is benign:
+# monotonic over +-3 voxels in-plane, ~100-1000x shallower along the fan
+# plane normal — the shallow axis is why the fine phase needs many steps.
+
+
+@dataclasses.dataclass(frozen=True)
+class AnnealedPoseConfig:
+    """Coarse-to-fine pose recovery schedule.
+
+    ``phases`` is a tuple of ``(blur_sigma, lr_pos, lr_rot, steps)``:
+    each phase optimizes MSE between Gaussian-blurred frames (sigma in
+    pixels; 0 = exact frames) with per-group cosine-decayed Adam.
+    """
+
+    geometry: BeamGeometry = BeamGeometry(n_rays=64, num_samples=128)
+    render: RenderConfig = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    phases: tuple = (
+        (4.0, 0.3, 0.02, 100),
+        (1.0, 0.15, 0.01, 150),
+        (0.0, 0.1, 0.005, 350),
+    )
+
+    def as_base(self) -> "PoseRecoveryConfig":
+        return PoseRecoveryConfig(geometry=self.geometry, render=self.render)
+
+
+def gaussian_blur_frame(frame: jax.Array, sigma: float) -> jax.Array:
+    """Separable 2D Gaussian blur of a (rays, depth) frame with edge
+    padding (static sigma; jittable)."""
+    sigma = float(sigma)  # static: the kernel width shapes the trace
+    if sigma <= 0:
+        return frame
+    r = int(math.ceil(3 * sigma))
+    k = jnp.exp(-0.5 * (jnp.arange(-r, r + 1, dtype=jnp.float32) / sigma) ** 2)
+    k = k / jnp.sum(k)
+
+    def conv_last(x):
+        pad = jnp.pad(x, [(0, 0), (r, r)], mode="edge")
+        return jax.vmap(lambda row: jnp.correlate(row, k, mode="valid"))(pad)
+
+    return conv_last(conv_last(frame).T).T
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def recover_pose_annealed(
+    volume, target_frame, init_pose: TransducerPose, cfg: AnnealedPoseConfig
+):
+    """Coarse-to-fine 6-DoF recovery (see :class:`AnnealedPoseConfig`).
+
+    Returns ``(pose, losses)`` with ``losses`` the concatenated loss
+    trajectory over all phases (blurred-frame MSE per phase).
+    """
+    base = cfg.as_base()
+    pose = init_pose
+    all_losses = []
+    for sigma, lr_pos, lr_rot, steps in cfg.phases:
+        tx = optax.multi_transform(
+            {
+                "pos": optax.adam(optax.cosine_decay_schedule(lr_pos, steps)),
+                "rot": optax.adam(optax.cosine_decay_schedule(lr_rot, steps)),
+            },
+            TransducerPose(position="pos", rotvec="rot"),
+        )
+        target_b = gaussian_blur_frame(target_frame, sigma)
+
+        def loss_fn(p):
+            frame = gaussian_blur_frame(render_pose(volume, p, base), sigma)
+            return jnp.mean((frame - target_b) ** 2)
+
+        def step(carry, _):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (pose, _), losses = jax.lax.scan(
+            step, (pose, tx.init(pose)), None, length=steps
+        )
+        all_losses.append(losses)
+    return pose, jnp.concatenate(all_losses)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def recover_pose_multistart_annealed(
+    volume, target_frame, init_poses: TransducerPose, cfg: AnnealedPoseConfig
+):
+    """Annealed recovery from a batch of inits (cf.
+    :func:`recover_pose_multistart`); returns ``(poses, losses, best)``."""
+    poses, losses = jax.vmap(
+        lambda p: recover_pose_annealed(volume, target_frame, p, cfg)
+    )(init_poses)
+    best = jnp.argmin(losses[:, -1])
+    return poses, losses, best
+
+
+def pose_recovery_benchmark(
+    volume,
+    true_pose: TransducerPose,
+    cfg: AnnealedPoseConfig,
+    key,
+    count: int = 8,
+    radius: float = 3.0,
+    rot_scale: float = 0.05,
+    pos_tol: float = 1.0,
+    rot_tol: float = 0.1,
+) -> dict:
+    """End-to-end acceptance metric for pose recovery (VERDICT r3 weak
+    #6): render the target at ``true_pose``, run ``count`` multistart
+    annealed descents from the fixed perturbation distribution
+    (position uniform in a ``radius`` ball, rotvec ``rot_scale`` normal),
+    and report the fraction that recover the truth within tolerance plus
+    whether the BEST-loss start does (the multistart workflow's real
+    acceptance question).
+    """
+    import numpy as np
+
+    target = render_pose(volume, true_pose, cfg.as_base())
+    init = sample_init_poses(
+        key, true_pose.position, radius, rot_scale, count
+    )
+    poses, losses, best = recover_pose_multistart_annealed(
+        volume, target, init, cfg
+    )
+    pos_err = np.linalg.norm(
+        np.asarray(poses.position) - np.asarray(true_pose.position), axis=1
+    )
+    rot_err = np.linalg.norm(
+        np.asarray(poses.rotvec) - np.asarray(true_pose.rotvec), axis=1
+    )
+    ok = (pos_err < pos_tol) & (rot_err < rot_tol)
+    b = int(best)
+    return {
+        "success_rate": float(np.mean(ok)),
+        "count": int(count),
+        "best_pos_err": float(pos_err[b]),
+        "best_rot_err": float(rot_err[b]),
+        "best_recovered": bool(ok[b]),
+        "pos_tol": float(pos_tol),
+        "rot_tol": float(rot_tol),
+    }
 
 
 @partial(jax.jit, static_argnames=("num_samples", "render", "lr", "steps"))

