@@ -418,11 +418,20 @@ def sample_trilinear_tile_k2(volume, points: jax.Array):
     both samples.  Exact (same clamp/corner math as
     :func:`sample_trilinear_tile`, values to ULPs).
 
+    LAYOUT NOTE (measured r4): every intermediate is either a wide
+    ``(..., S/2, 128)`` row array or a narrow ``(..., S/2)`` per-pair
+    array — NEVER ``(..., S/2, 2)``-shaped.  TPU tiles arrays (8, 128)
+    on the minor dims, so a trailing pair dim of 2 lane-pads 64x; the
+    first formulation carried a dozen such arrays and ran 2x SLOWER
+    end-to-end than the per-sample tile path despite 25% fewer gather
+    transactions.  Consecutive samples are split even/odd with strided
+    lane slices instead.
+
     Requirements: ``points`` is ``(..., S, 3)`` with consecutive samples
     along the second-to-last axis at most 1 voxel apart per axis (unit
-    direction, ``step <= 1``).  Odd ``S`` falls back to the per-sample
-    path for the final sample.  Table is ~1.52x the volume (98 MB at
-    256^3 f32 — under the >128 MB take-cost cliff).
+    direction, ``step <= 1``); even ``S``.  Containment violations NaN
+    loudly rather than sampling a wrong tile.  Table is ~1.52x the
+    volume (107 MB at 256^3 f32 — under the >128 MB take-cost cliff).
 
     ``volume`` may be raw or a :class:`TileVolume` prepared with
     ``prepare_tile_volume(volume, 6, 14)``.
@@ -449,65 +458,75 @@ def sample_trilinear_tile_k2(volume, points: jax.Array):
     i0 = p0.astype(jnp.int32)
     i1 = jnp.minimum(i0 + 1, jnp.asarray(tv.shape, jnp.int32) - 1)
 
-    pair = lambda arr: arr.reshape(arr.shape[:-2] + (s // 2, 2) + arr.shape[-1:])
-    i0p = pair(i0)          # (..., S/2, 2, 3)
-    i1p = pair(i1)
-    fr = pair(frac)
+    # component-wise (..., S) arrays, then even/odd strided lane slices
+    def split(arr):
+        return arr[..., 0::2], arr[..., 1::2]
 
-    x0, y0, z0 = i0p[..., 0], i0p[..., 1], i0p[..., 2]   # (..., S/2, 2)
-    dy, dz = i1p[..., 1] - y0, i1p[..., 2] - z0
-    fx, fy, fz = fr[..., 0], fr[..., 1], fr[..., 2]
+    x0 = split(i0[..., 0])
+    y0 = split(i0[..., 1])
+    z0 = split(i0[..., 2])
+    x1 = split(i1[..., 0])
+    dy = tuple(a - b for a, b in zip(split(i1[..., 1]), y0))
+    dz = tuple(a - b for a, b in zip(split(i1[..., 2]), z0))
+    fx = split(frac[..., 0])
+    fy = split(frac[..., 1])
+    fz = split(frac[..., 2])
 
-    ymin = jnp.min(y0, axis=-1)                          # (..., S/2)
-    zmin = jnp.min(z0, axis=-1)
-    xmin = jnp.min(x0, axis=-1)
+    ymin = jnp.minimum(*y0)                              # (..., S/2)
+    zmin = jnp.minimum(*z0)
+    xmin = jnp.minimum(*x0)
     a, b = ymin // _K2_SY, zmin // _K2_SZ
     row_base = a * nb + b
 
     # three static x-plane takes per pair (the transaction saving: 3
     # rows serve 8 corners of both samples)
     rows = [
-        jnp.take(table, (jnp.minimum(xmin + k, tv.shape[0] - 1) * na) * nb
-                 + row_base, axis=0)
+        jnp.take(
+            table,
+            jnp.minimum(xmin + k, tv.shape[0] - 1) * (na * nb) + row_base,
+            axis=0,
+        )
         for k in range(3)
     ]                                                    # each (..., S/2, 128)
 
-    ly = y0 - (a * _K2_SY)[..., None]                    # (..., S/2, 2) in [0, 6]
-    lz = z0 - (b * _K2_SZ)[..., None]
     lanes = jnp.arange(_TILE_TY * _TILE_TZ, dtype=jnp.int32)
-    l00 = ly * _TILE_TZ + lz
-    l10 = (ly + dy) * _TILE_TZ + lz
-    wz0 = (l00[..., None] == lanes) * (1 - fz)[..., None] + (
-        (l00 + dz)[..., None] == lanes
-    ) * fz[..., None]
-    wz1 = (l10[..., None] == lanes) * (1 - fz)[..., None] + (
-        (l10 + dz)[..., None] == lanes
-    ) * fz[..., None]
-    w_yz = (1 - fy)[..., None] * wz0 + fy[..., None] * wz1  # (..., S/2, 2, 128)
-
-    # per-sample x-plane selection: plane index of x0 / x1 relative to xmin
-    px0 = x0 - xmin[..., None]                           # 0 or 1
-    px1 = jnp.minimum(i1p[..., 0], tv.shape[0] - 1) - xmin[..., None]  # 0..2
-    vals = 0.0
-    for k in range(3):
-        cx = (px0 == k) * (1 - fx) + (px1 == k) * fx     # (..., S/2, 2)
-        vals = vals + jnp.sum(
-            rows[k][..., None, :] * (w_yz * cx[..., None]), axis=-1
+    vals = []
+    bads = []
+    for m in (0, 1):                                     # even / odd sample
+        ly = y0[m] - a * _K2_SY                          # (..., S/2) in [0, 7]
+        lz = z0[m] - b * _K2_SZ
+        l00 = ly * _TILE_TZ + lz
+        l10 = (ly + dy[m]) * _TILE_TZ + lz
+        wz0 = (l00[..., None] == lanes) * (1 - fz[m])[..., None] + (
+            (l00 + dz[m])[..., None] == lanes
+        ) * fz[m][..., None]
+        wz1 = (l10[..., None] == lanes) * (1 - fz[m])[..., None] + (
+            (l10 + dz[m])[..., None] == lanes
+        ) * fz[m][..., None]
+        w_yz = (1 - fy[m])[..., None] * wz0 + fy[m][..., None] * wz1
+        px0 = x0[m] - xmin                               # 0 or 1
+        px1 = x1[m] - xmin                               # 0..2
+        # cx is a scalar plane weight per (sample, plane) and w_yz does
+        # not depend on the plane: one 128-wide reduction per plane, cx
+        # scales the narrow result
+        val = 0.0
+        for k in range(3):
+            cx = (px0 == k) * (1 - fx[m]) + (px1 == k) * fx[m]
+            val = val + cx * jnp.sum(rows[k] * w_yz, axis=-1)
+        vals.append(val)
+        # containment guard: consecutive samples >1 voxel apart per
+        # axis (non-unit directions / step>1) break the pair-tile
+        # premise — NaN loudly instead of silently sampling wrong tiles
+        bads.append(
+            (ly + dy[m] > _TILE_TY - 1)
+            | (lz + dz[m] > _TILE_TZ - 1)
+            | (px0 > 1)
+            | (px1 > 2)
         )
 
-    # containment guard: consecutive samples >1 voxel apart per axis
-    # (non-unit directions / step>1) break the pair-tile premise — emit
-    # NaN loudly instead of silently sampling the wrong tile.  Cost: a
-    # few compares on the narrow (.., S/2, 2) arrays, no 128-wide work.
-    bad = (
-        (ly + dy > _TILE_TY - 1)
-        | (lz + dz > _TILE_TZ - 1)
-        | (px0 > 1)
-        | (px1 > 2)
-    )
-    vals = jnp.where(bad, jnp.nan, vals)
+    vals = [jnp.where(bad, jnp.nan, v) for v, bad in zip(vals, bads)]
+    values = jnp.stack(vals, axis=-1).reshape(points.shape[:-1])
 
-    values = vals.reshape(points.shape[:-1])
     dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
     return idx, values

@@ -43,18 +43,20 @@ _DEFAULT_CONFIG = RenderConfig()
 def _resolve_sampler(interp: str, num_samples: int = 0, step: float = 1.0) -> str:
     """On TPU, plain nearest upgrades to the lane-aligned row-gather
     formulation (bit-identical values, ~3x faster; see
-    ``ops.sampling.sample_nearest_rows``) and trilinear to an
-    overlapped-(y,z)-tile gather: the depth-amortized K=2 pair sampler
-    (3 row gathers per two consecutive samples, ``sample_trilinear_tile_k2``,
-    measured ~1.4x the per-sample tile path in r4) when the depth count
-    is even and ``step <= 1`` (unit directions assumed — the K=2 sampler
-    NaNs loudly if consecutive samples are >1 voxel apart per axis), the
-    per-sample tile sampler otherwise.  ``trilinear_bf16`` is the
-    explicit opt-in one-gather 3D-tile mode; ``trilinear_fused`` the
-    tile sampler with a Pallas-fused select stage (``config.use_pallas``
-    maps trilinear here; measured SLOWER than the XLA fusion on v5e —
-    kept for completeness, docs/benchmarking.md r4).  Trace-time
-    decision."""
+    ``ops.sampling.sample_nearest_rows``) and trilinear to the
+    overlapped-(y,z)-tile gather (2 row gathers/sample,
+    ``sample_trilinear_tile``).  ``trilinear_bf16`` is the explicit
+    opt-in one-gather 3D-tile mode; ``trilinear_fused`` the tile sampler
+    with a Pallas-fused select stage (``config.use_pallas`` maps
+    trilinear here; measured SLOWER than the XLA fusion on v5e — kept
+    for completeness).  The depth-amortized K=2 pair sampler
+    (``sample_trilinear_tile_k2``, 25% fewer gather transactions) is a
+    measured END-TO-END NEGATIVE in three formulations (1.6-2.0x slower
+    through the full render, docs/benchmarking.md r4) and is therefore
+    NOT auto-selected — reachable explicitly via
+    ``interp='trilinear_tile_k2'`` in :func:`trace_rays`.  ``num_samples``
+    and ``step`` stay in the signature for samplers whose eligibility
+    depends on them.  Trace-time decision."""
     if interp == "trilinear_bf16":
         return "trilinear_tile3d_bf16"
     if interp == "trilinear_fused":
@@ -63,17 +65,17 @@ def _resolve_sampler(interp: str, num_samples: int = 0, step: float = 1.0) -> st
         if interp == "nearest":
             return "nearest_rows"
         if interp == "trilinear":
-            if num_samples > 0 and num_samples % 2 == 0 and step <= 1.0:
-                return "trilinear_tile_k2"
             return "trilinear_tile"
     return interp
 
 
 def _effective_interp(config: RenderConfig) -> str:
-    """``use_pallas`` means "Pallas kernels where they win": propagation
-    (``echo_pallas``) and, for trilinear, the fused tile-select stage."""
-    if config.interp == "trilinear" and config.use_pallas:
-        return "trilinear_fused"
+    """``use_pallas`` means "Pallas kernels where they win" — today that
+    is the fused propagation+attenuation kernel only.  The Pallas
+    tile-select stage measured 2.6x SLOWER than XLA's own gather+select
+    fusion (docs/benchmarking.md r4), so ``use_pallas`` deliberately
+    does NOT route sampling through it; the kernel stays reachable via
+    the explicit ``trilinear_fused`` interp string."""
     return config.interp
 
 

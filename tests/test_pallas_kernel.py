@@ -215,8 +215,9 @@ def test_tile_select_fused_gradients(rng):
 
 
 def test_render_frame_use_pallas_trilinear_matches():
-    """config.use_pallas with interp='trilinear' routes sampling through
-    the fused tile-select kernel AND propagation through echo_pallas;
+    """config.use_pallas with interp='trilinear' routes propagation
+    through echo_pallas (sampling stays on the XLA tile path — the
+    Pallas select kernel measured slower end-to-end and is explicit-only);
     frames must match the plain trilinear render."""
     from diffus_tpu.types import RenderConfig
     from diffus_tpu.render.renderer import render_frame, render_sweep
