@@ -209,7 +209,37 @@ def cmd_recover_pose(args):
     target = np.load(args.target) if args.target else np.asarray(
         render_pose(vol, TransducerPose.create(args.true_source), cfg)
     )
-    if args.starts > 1:
+    if args.annealed:
+        # the r4 production recipe: coarse-to-fine blur schedule +
+        # per-group cosine Adam (single-phase Adam measurably diverges
+        # on the 6-DoF chart — train/pose_recovery.py docstring)
+        import jax
+
+        from diffus_tpu.train.pose_recovery import (
+            AnnealedPoseConfig,
+            recover_pose_multistart_annealed,
+            sample_init_poses,
+        )
+
+        acfg = AnnealedPoseConfig(geometry=geom, render=cfg.render)
+        inits = sample_init_poses(
+            jax.random.PRNGKey(args.seed), args.source, args.radius,
+            args.rot_scale, max(args.starts, 1),
+        )
+        poses, all_losses, best = recover_pose_multistart_annealed(
+            vol, jnp.asarray(target), inits, acfg
+        )
+        b = int(best)
+        result = {
+            "annealed": True,
+            "starts": int(max(args.starts, 1)),
+            "best": b,
+            "loss_first": float(all_losses[b, 0]),
+            "loss_last": float(all_losses[b, -1]),
+            "position": [float(v) for v in np.asarray(poses.position[b])],
+            "rotvec": [float(v) for v in np.asarray(poses.rotvec[b])],
+        }
+    elif args.starts > 1:
         # multistart: batched descents from random inits around --source
         # (the render-MSE landscape is multi-modal); best basin wins
         import jax
@@ -508,6 +538,9 @@ def main(argv=None):
                    help="multistart position-init ball (voxels)")
     p.add_argument("--rot-scale", type=float, default=0.05)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--annealed", action="store_true",
+                   help="coarse-to-fine multistart recovery (the robust "
+                        "r4 recipe; uses --starts/--radius/--rot-scale)")
     p.set_defaults(fn=cmd_recover_pose)
 
     p = sub.add_parser("selftest", help="end-to-end parity smoke test")

@@ -282,3 +282,21 @@ def test_cli_squeezes_4d_nifti(tmp_path, capsys):
         "--source", "8", "1", "8", "--rays", "4", "--samples", "10",
     ])
     assert rc == 0 and np.load(out_path).shape == (4, 10)
+
+
+def test_cli_recover_pose_annealed(tmp_path, capsys):
+    """--annealed: the coarse-to-fine multistart recipe reachable
+    headlessly (round 4)."""
+    vol_path = os.path.join(str(tmp_path), "t1.nii.gz")
+    save_nifti(vol_path, t1_phantom_3d((24, 24, 24)))
+    rc = main([
+        "recover-pose", "--volume", vol_path, "--annealed",
+        "--true-source", "12", "1", "12", "--source", "12.8", "1.6", "11.4",
+        "--rays", "8", "--samples", "16", "--starts", "2",
+        "--radius", "1.0", "--rot-scale", "0.02",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["annealed"] is True and out["starts"] == 2
+    assert np.isfinite(out["loss_last"])
+    assert out["loss_last"] <= out["loss_first"]
