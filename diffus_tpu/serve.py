@@ -303,7 +303,21 @@ class RendererService:
             if leader:
                 self._dispatching = True
         if leader:
-            self._drain()
+            try:
+                self._drain()
+            except BaseException:
+                # _drain only unwinds on non-dispatch failures (e.g. an
+                # interrupt during the straggler sleep): don't strand the
+                # queue with _dispatching stuck True — fail the waiters
+                # loudly and let the next arrival elect a fresh leader
+                with self._lock:
+                    pending, self._queue = self._queue, []
+                    self._dispatching = False
+                err = RuntimeError("render dispatch leader aborted")
+                for r in pending:
+                    r.error = err
+                    r.event.set()
+                raise
         else:
             req.event.wait()
         if req.error is not None:

@@ -278,3 +278,32 @@ def test_sharded_sweep_jit_is_cached(monkeypatch):
                           + rng.uniform(-1, 1, (2, 3)).astype(np.float32))
         shard_mod.sharded_render_sweep(mesh, vol, src, dirs, 8, cfg)
     assert len(traces) == 1, f"sweep retraced {len(traces)}x for same-shape calls"
+
+
+def test_service_leader_abort_does_not_strand_queue(monkeypatch):
+    """If the dispatch leader unwinds outside the per-batch error path
+    (e.g. an interrupt in the straggler sleep), queued waiters must fail
+    loudly and leadership must reset so later requests still work."""
+    import time as _time
+
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(vol, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1, 4))
+    s.warmup()
+
+    calls = {"n": 0}
+    orig_drain = s._drain
+
+    def exploding_drain():
+        calls["n"] += 1
+        raise KeyboardInterrupt("simulated interrupt")
+
+    s._drain = exploding_drain
+    with pytest.raises(KeyboardInterrupt):
+        s.render(np.array([8.0, 1.0, 8.0], np.float32))
+    # leadership reset: a later request elects a new leader and succeeds
+    s._drain = orig_drain
+    out = s.render(np.array([8.0, 1.0, 8.0], np.float32))
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert not s._dispatching and not s._queue
