@@ -310,9 +310,18 @@ class TileVolume:
 
     Building the table inside a ``lax.map`` sweep body costs ~0.32
     ms/frame at the benchmark config (measured r3) because XLA rebuilds
-    it per chunk; preparing once — per dispatch in ``render_sweep``, or
-    fully host-side for a long-lived service — removes that.  A pytree,
-    so it passes through jit/vmap boundaries like an array.
+    it per chunk; ``render_sweep`` therefore prepares ONCE PER DISPATCH,
+    inside the jit.  A pytree, so it passes through jit/vmap boundaries
+    like an array.
+
+    **Do NOT stage a prepared table across dispatches** (i.e. pass a
+    host-built ``TileVolume`` as a jit argument to a long-lived serving
+    loop): a gather operand that arrives as a jit ARGUMENT is
+    HBM-resident and its row gathers run at the ~10.4 ns/take argument
+    rate, while the same table built in-jit is an XLA temp placed in
+    fast on-chip memory at ~2.3 ns/take — measured 3.3x end-to-end
+    (r4, ``scripts/probe_arg_r4.py``).  Pass the raw volume and let the
+    jitted program build the table.
 
     ``sy``/``sz`` are the tile strides (static aux data): (7, 15) is the
     per-sample table, (6, 14) the K=2 depth-amortized one.

@@ -129,36 +129,30 @@ class RendererService:
         self._window = float(coalesce_window_s)
         self._queue: list = []          # pending _Pending requests
         self._dispatching = False       # a leader is draining the queue
-        # trilinear modes gather from a prebuilt overlapped-tile table:
-        # prepare it ONCE here so no dispatch ever pays the build
         self._staged = self._prepare(self.volume)
 
     def _prepare(self, volume):
-        from diffus_tpu.render.renderer import _resolve_sampler, _effective_interp
+        """Stage the RAW volume (bf16-cast if configured, mesh-replicated
+        for meshed services).
 
-        resolved = _resolve_sampler(
-            _effective_interp(self.config),
-            self.geometry.num_samples,
-            float(self.geometry.step),
-        )
+        Deliberately does NOT pre-build tile gather tables (the r3
+        design did): a prepared table passed as a jit ARGUMENT is
+        HBM-resident and its row gathers run at the ~10.4 ns/take
+        argument rate, while the table render_sweep builds INSIDE the
+        jit per dispatch is an XLA temp that lands in fast on-chip
+        memory at ~2.3 ns/take — measured 3.3x end-to-end
+        (scripts/probe_arg_r4.py: 0.98 vs 3.27 ms/frame).  The
+        per-dispatch build (~1.3 ms, once per padded tier batch) is far
+        cheaper than every gather paying the argument rate.
+        """
         staged = volume
-        tile2d = ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_fused")
-        if self.config.dtype == "bfloat16" and resolved in tile2d:
+        if self.config.dtype == "bfloat16" and self.config.interp.startswith(
+            "trilinear"
+        ):
             staged = staged.astype(jnp.bfloat16)  # match render_frame's cast
-        if resolved in tile2d:
-            from diffus_tpu.ops.sampling import prepare_tile_volume
-
-            strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
-            staged = jax.jit(
-                lambda v: prepare_tile_volume(v, *strides)
-            )(staged)
-        elif resolved == "trilinear_tile3d_bf16":
-            from diffus_tpu.ops.sampling import prepare_tile3d_volume
-
-            staged = jax.jit(prepare_tile3d_volume)(staged)
         if self._mesh is not None:
             # replicate on the mesh ONCE: the r3 code re-device_put the
-            # (up to ~87 MB) volume/table per request (ADVICE r3, medium)
+            # volume per request (ADVICE r3, medium)
             from jax.sharding import NamedSharding, PartitionSpec
 
             staged = jax.device_put(
