@@ -139,3 +139,80 @@ def build_scene_from_edges(
         d1=float(d1),
         d2=float(d2),
     )
+
+
+def crop_to_content(volume, threshold: float = None, mask=None, margin: int = 8,
+                    multiple: int = 8):
+    """Crop a volume to the bounding box of its content (+margin) and
+    return the crop with the coordinate offset.
+
+    Clinical volumes carry large air margins (ReMIND-style 256^3 brain
+    scans are mostly background), and gather cost on TPU depends on the
+    table the render builds from the volume fitting in fast on-chip
+    memory (~128 MB, docs/benchmarking.md "Round 4"): cropping a 512^3
+    scan to its ~300^3 content brings the trilinear tile table from
+    778 MB (HBM gather rate, ~10 ns/take) back under the placement limit
+    (~2.3 ns/take).  Host-side preprocessing: shapes are data-dependent,
+    so this runs in numpy BEFORE jit; the cropped shape is then static.
+
+    Args:
+      volume: ``(D, H, W)`` array or :class:`~diffus_tpu.types.Volume`.
+      threshold: content = ``data > threshold`` (default: ``data >
+        data.min()``, i.e. anything above the background floor).
+      mask: optional explicit boolean content mask (overrides threshold),
+        e.g. ``impedance.preproc.create_brain_mask``'s output.
+      margin: voxels of padding kept around the content box (rays need
+        room to interpolate at the boundary).
+      multiple: round each cropped dim up to this multiple (TPU-friendly
+        shapes; also keeps jit cache reuse across similar crops).
+
+    Returns:
+      ``(cropped, offset)`` — the cropped volume (same type as the
+      input; a :class:`Volume` gets its affine translated so
+      world coordinates are preserved) and the ``(3,)`` integer voxel
+      offset of the crop origin.  Render with
+      ``render_frame(cropped, source - offset, directions, ...)``;
+      add ``offset`` back to any returned integer sample coordinates.
+    """
+    import numpy as np
+
+    data = np.asarray(volume.data if isinstance(volume, Volume) else volume)
+    if mask is None:
+        thr = float(data.min()) if threshold is None else float(threshold)
+        mask = data > thr
+    else:
+        mask = np.asarray(mask, bool)
+    if not mask.any():
+        raise ValueError("crop_to_content: the content mask is empty")
+    lo = []
+    hi = []
+    for axis in range(3):
+        proj = mask.any(axis=tuple(a for a in range(3) if a != axis))
+        idx = np.nonzero(proj)[0]
+        a = max(0, int(idx[0]) - margin)
+        b = min(data.shape[axis], int(idx[-1]) + 1 + margin)
+        size = b - a
+        if multiple > 1:
+            want = -(-size // multiple) * multiple
+            grow = min(want - size, data.shape[axis] - size)
+            a = max(0, a - grow // 2)
+            b = min(data.shape[axis], a + size + grow)
+            a = max(0, b - (size + grow))
+        lo.append(a)
+        hi.append(b)
+    cropped = data[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+    offset = np.asarray(lo, np.int32)
+    if isinstance(volume, Volume):
+        affine = np.asarray(volume.affine).copy()
+        # voxel v in the crop is voxel v+offset in the original:
+        # world = A @ (v + offset) => new translation absorbs A[:3,:3] @ offset
+        affine[:3, 3] = affine[:3, 3] + affine[:3, :3] @ offset.astype(affine.dtype)
+        return (
+            Volume(
+                data=jnp.asarray(cropped),
+                affine=jnp.asarray(affine),
+                spacing=volume.spacing,
+            ),
+            offset,
+        )
+    return jnp.asarray(cropped), offset

@@ -131,25 +131,56 @@ class RendererService:
         self._dispatching = False       # a leader is draining the queue
         self._staged = self._prepare(self.volume)
 
-    def _prepare(self, volume):
-        """Stage the RAW volume (bf16-cast if configured, mesh-replicated
-        for meshed services).
+    # On-chip gather-operand placement capacity (v5e, measured r4:
+    # tables up to ~100-128 MB built in-jit gather at ~2.3 ns/take;
+    # beyond it everything is HBM-rate).  Conservative threshold.
+    _PLACEMENT_BYTES = 120_000_000
 
-        Deliberately does NOT pre-build tile gather tables (the r3
-        design did): a prepared table passed as a jit ARGUMENT is
-        HBM-resident and its row gathers run at the ~10.4 ns/take
-        argument rate, while the table render_sweep builds INSIDE the
-        jit per dispatch is an XLA temp that lands in fast on-chip
-        memory at ~2.3 ns/take — measured 3.3x end-to-end
-        (scripts/probe_arg_r4.py: 0.98 vs 3.27 ms/frame).  The
-        per-dispatch build (~1.3 ms, once per padded tier batch) is far
-        cheaper than every gather paying the argument rate.
+    def _prepare(self, volume):
+        """Stage the scene: RAW volume for normal sizes, a pre-built
+        tile table only for volumes too big to place on-chip anyway.
+
+        The r3 design always staged prepared tables; that is a 3.3x
+        device-time PESSIMIZATION for normal volumes — a prepared table
+        passed as a jit ARGUMENT is HBM-resident and its row gathers run
+        at the ~10.4 ns/take argument rate, while the table render_sweep
+        builds INSIDE the jit per dispatch is an XLA temp placed in fast
+        on-chip memory at ~2.3 ns/take (scripts/probe_arg_r4.py: 0.98 vs
+        3.27 ms/frame).  The ordering INVERTS for huge volumes whose
+        table exceeds the ~128 MB placement capacity (512^3-class): the
+        gathers are HBM-rate either way, so the in-jit build is pure
+        per-dispatch overhead (measured 15.0 vs 3.1 ms/frame at 512^3,
+        probe_crop_r4) — there the r3 staging is right.  Content-crop
+        big scans first (:func:`diffus_tpu.scene.crop_to_content`) to
+        get back under the capacity: a 512^3 scan with 256^3 content
+        renders 6-9x faster cropped.
         """
+        from diffus_tpu.render.renderer import _effective_interp, _resolve_sampler
+
+        resolved = _resolve_sampler(
+            _effective_interp(self.config),
+            self.geometry.num_samples,
+            float(self.geometry.step),
+        )
         staged = volume
-        if self.config.dtype == "bfloat16" and self.config.interp.startswith(
-            "trilinear"
-        ):
+        tile2d = ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_fused")
+        if self.config.dtype == "bfloat16" and resolved in tile2d:
             staged = staged.astype(jnp.bfloat16)  # match render_frame's cast
+        if resolved in tile2d:
+            table_bytes = int(staged.size) * staged.dtype.itemsize * 1.36
+            if table_bytes > self._PLACEMENT_BYTES:
+                from diffus_tpu.ops.sampling import prepare_tile_volume
+
+                strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
+                staged = jax.jit(
+                    lambda v: prepare_tile_volume(v, *strides)
+                )(staged)
+        elif resolved == "trilinear_tile3d_bf16":
+            table_bytes = int(staged.size) * 2 * 2.04
+            if table_bytes > self._PLACEMENT_BYTES:
+                from diffus_tpu.ops.sampling import prepare_tile3d_volume
+
+                staged = jax.jit(prepare_tile3d_volume)(staged)
         if self._mesh is not None:
             # replicate on the mesh ONCE: the r3 code re-device_put the
             # volume per request (ADVICE r3, medium)

@@ -251,3 +251,69 @@ class TestIsosurface:
         assert len([a for a in fig.axes if a.images]) >= 9
         img = plot_slice(vol, slice_id=8, axis=1)
         assert img.shape == (16, 16)
+
+
+class TestCropToContent:
+    def _scene(self, rng):
+        vol = np.zeros((40, 48, 44), np.float32)
+        vol[10:30, 12:36, 8:32] = rng.uniform(1.0, 2.0, (20, 24, 24)).astype(np.float32)
+        return vol
+
+    def test_crop_preserves_render(self, rng):
+        """Rendering the cropped volume with the shifted source must equal
+        the full-volume render while the rays stay inside the crop."""
+        from diffus_tpu.scene import crop_to_content
+        from diffus_tpu.render.renderer import render_frame
+        from diffus_tpu.geometry.fan import fan_directions_2d
+        from diffus_tpu.types import RenderConfig
+
+        vol = self._scene(rng)
+        cropped, offset = crop_to_content(vol, margin=6)
+        assert cropped.shape <= vol.shape
+        src = jnp.asarray(np.array([20.0, 14.0, 20.0], np.float32))
+        dirs = fan_directions_2d([0.0, 1.0], np.radians(30.0), 6)
+        cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+        # 18 samples from y=14: stays within the padded crop box
+        _, _, _, full = render_frame(jnp.asarray(vol), src, dirs, 18, cfg)
+        x, y, z, crop_frame = render_frame(
+            cropped, src - jnp.asarray(offset, jnp.float32), dirs, 18, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(crop_frame), np.asarray(full), rtol=1e-5, atol=1e-7
+        )
+
+    def test_crop_volume_affine_world_preserved(self, rng):
+        from diffus_tpu.scene import crop_to_content
+        from diffus_tpu.types import Volume
+        from diffus_tpu.geometry.affine import voxel_to_world
+
+        affine = np.eye(4, dtype=np.float32)
+        affine[:3, :3] = np.diag([0.5, 0.7, 0.9]).astype(np.float32)
+        affine[:3, 3] = [5.0, -3.0, 2.0]
+        v = Volume.from_array(self._scene(rng), affine=affine)
+        cv, offset = crop_to_content(v, margin=2, multiple=1)
+        # the same physical voxel maps to the same world point
+        p_crop = np.array([3.0, 4.0, 5.0], np.float32)
+        w_crop = np.asarray(voxel_to_world(jnp.asarray(p_crop), cv.affine))
+        w_full = np.asarray(
+            voxel_to_world(jnp.asarray(p_crop + offset), v.affine)
+        )
+        np.testing.assert_allclose(w_crop, w_full, rtol=1e-6, atol=1e-5)
+
+    def test_crop_mask_margin_multiple(self, rng):
+        from diffus_tpu.scene import crop_to_content
+
+        vol = self._scene(rng)
+        mask = np.zeros_like(vol, bool)
+        mask[15:20, 20:25, 18:22] = True
+        cropped, offset = crop_to_content(vol, mask=mask, margin=0, multiple=8)
+        assert all(s % 8 == 0 or s == f for s, f in zip(cropped.shape, vol.shape))
+        # the masked region survives in the crop (per-axis bounds)
+        mask_lo, mask_hi = (15, 20, 18), (20, 25, 22)
+        for o, s, ml, mh in zip(offset, cropped.shape, mask_lo, mask_hi):
+            assert o <= ml and o + s >= mh
+        import pytest
+
+        with pytest.raises(ValueError, match="empty"):
+            crop_to_content(np.zeros((8, 8, 8), np.float32) + 1.0,
+                            mask=np.zeros((8, 8, 8), bool))
