@@ -464,6 +464,27 @@ def render_sweep(
             # build: without it a sweep silently prepared an f32 table
             # while the single-frame path served bf16 (ADVICE r3)
             volume = volume.astype(jnp.bfloat16)
+        if not isinstance(volume, (TileVolume, Tile3dVolume)):
+            # r4 placement model (docs/benchmarking.md "Round 4"): in-jit
+            # tables place on-chip only up to ~128 MB; past that, the
+            # per-dispatch build is pure overhead (15 vs 3.1 ms/frame at
+            # 512^3).  Warn at trace time — the fixes are host-side.
+            table_bytes = int(volume.size) * volume.dtype.itemsize * (
+                2.04 if resolved == "trilinear_tile3d_bf16" else 1.36
+            )
+            if table_bytes > 125_000_000:
+                import warnings
+
+                warnings.warn(
+                    f"trilinear sweep over a {volume.shape} volume builds a "
+                    f"~{table_bytes / 1e6:.0f} MB gather table per dispatch — "
+                    "beyond the ~128 MB on-chip placement capacity, where the "
+                    "in-jit build is pure overhead.  Crop the volume to its "
+                    "content first (diffus_tpu.scene.crop_to_content; 6-9x "
+                    "measured at 512^3) or pass a host-prepared "
+                    "TileVolume/Tile3dVolume instead of the raw array.",
+                    stacklevel=3,
+                )
         if resolved == "trilinear_tile3d_bf16":
             volume = prepare_tile3d_volume(volume)
         elif resolved == "trilinear_tile_k2":

@@ -520,3 +520,40 @@ def test_render_axis_permutation_equivariance(rng, perm, interp):
         np.testing.assert_allclose(
             np.asarray(base), np.asarray(permuted), rtol=2e-5, atol=1e-7
         )
+
+
+def test_render_sweep_warns_on_overcapacity_table(monkeypatch, rng):
+    """A raw volume whose tile table exceeds the ~128 MB on-chip
+    placement capacity gets a trace-time warning pointing at
+    crop_to_content / host-prepared tables (r4 placement model)."""
+    import warnings
+
+    from diffus_tpu.render import renderer as rmod
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.0, (16, 16, 16)).astype(np.float32))
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40.0), 4)
+    srcs = jnp.asarray(np.tile([8.0, 1.0, 8.0], (2, 1)).astype(np.float32))
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+
+    # force the tile resolution (CPU would resolve to plain trilinear)
+    orig = rmod._resolve_sampler
+    monkeypatch.setattr(
+        rmod, "_resolve_sampler",
+        lambda interp, num_samples=0, step=1.0: (
+            "trilinear_tile" if interp == "trilinear"
+            else orig(interp, num_samples, step)
+        ),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rmod.render_sweep(vol, srcs, dirs, 10, cfg)  # small: no warning
+        assert not [x for x in w if "placement capacity" in str(x.message)]
+    big = jnp.zeros((320, 320, 320), jnp.float32)  # 131 MB -> table 178 MB
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        try:
+            rmod.render_sweep(big, srcs, dirs, 10, cfg)
+        except Exception:
+            pass  # rendering a 320^3 zero volume on CPU may be slow/odd;
+                  # only the warning emission is under test
+        assert [x for x in w if "placement capacity" in str(x.message)]
