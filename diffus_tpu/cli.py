@@ -384,6 +384,7 @@ def cmd_serve(args):
         median_direction=args.direction,
         batch_tiers=tuple(args.tiers),
         mesh=mesh,
+        crop=args.crop,
     )
     warm = svc.warmup()
     server = make_http_server(svc, host=args.host, port=args.port)
@@ -515,6 +516,10 @@ def main(argv=None):
     p.add_argument("--mesh-pose", type=int, default=1,
                    help=">1: serve over a (pose, ray) device mesh")
     p.add_argument("--mesh-ray", type=int, default=1)
+    p.add_argument("--crop", action="store_true",
+                   help="content-crop the volume at startup (6-9x for big "
+                        "scans with air margins; client coordinates "
+                        "unchanged)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.set_defaults(fn=cmd_serve)

@@ -80,6 +80,8 @@ class RendererService:
         mesh=None,
         coalesce: bool = True,
         coalesce_window_s: float = 0.003,
+        crop: bool = False,
+        crop_margin: int = 16,
     ):
         self.geometry = geometry
         self.config = config
@@ -88,6 +90,28 @@ class RendererService:
         if not self.batch_tiers:
             raise ValueError("need at least one batch tier")
         self._device = device or jax.devices()[0]
+        # optional content crop (scene.crop_to_content): big clinical
+        # scans are mostly air, and the crop brings gather tables back
+        # under the on-chip placement capacity (6-9x at 512^3, r4).
+        # Client coordinates are UNCHANGED — sources are translated by
+        # the crop offset internally, and update_volume re-applies the
+        # same box so compiled tier shapes stay valid.
+        self._crop_slices = None
+        self._offset = None
+        if crop:
+            from diffus_tpu.scene import crop_to_content
+
+            cropped, offset = crop_to_content(
+                np.asarray(volume, np.float32), margin=crop_margin
+            )
+            self._crop_slices = tuple(
+                slice(int(o), int(o) + s)
+                for o, s in zip(offset, cropped.shape)
+            )
+            self._offset = jax.device_put(
+                jnp.asarray(offset, jnp.float32), self._device
+            )
+            volume = cropped
         # stage the scene once: volume + fan directions live on-device
         self.volume = jax.device_put(jnp.asarray(volume, jnp.float32), self._device)
         self.directions = jax.device_put(
@@ -306,6 +330,9 @@ class RendererService:
         sources = jnp.asarray(sources, jnp.float32)
         if sources.ndim == 1:
             sources = sources[None]
+        if self._offset is not None:
+            # crop mode: clients use original-volume coordinates
+            sources = sources - self._offset[None, :]
         p = sources.shape[0]
         if p == 0:
             depth = self.geometry.num_samples - self.config.start_index(
@@ -356,10 +383,16 @@ class RendererService:
 
     def update_volume(self, volume) -> None:
         """Swap the resident volume (e.g. new case) without recompiling —
-        shapes must match the staged volume.  Takes effect from the next
-        dispatched batch; a render already on device finishes against the
-        volume it snapshotted (each dispatch is internally consistent)."""
+        shapes must match the construction-time volume (for a
+        ``crop=True`` service, pass the ORIGINAL-shape volume; the same
+        crop box is re-applied so compiled tier shapes stay valid).
+        Takes effect from the next dispatched batch; a render already on
+        device finishes against the volume it snapshotted (each dispatch
+        is internally consistent)."""
         new = jnp.asarray(volume, jnp.float32)
+        if self._crop_slices is not None and new.shape != self.volume.shape:
+            new = new[self._crop_slices[0], self._crop_slices[1],
+                      self._crop_slices[2]]
         if new.shape != self.volume.shape:
             raise ValueError(
                 f"volume shape {new.shape} != staged {self.volume.shape}; "

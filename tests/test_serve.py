@@ -307,3 +307,33 @@ def test_service_leader_abort_does_not_strand_queue(monkeypatch):
     out = s.render(np.array([8.0, 1.0, 8.0], np.float32))
     assert np.all(np.isfinite(np.asarray(out)))
     assert not s._dispatching and not s._queue
+
+
+def test_service_crop_mode_transparent_to_clients(rng):
+    """crop=True: the service crops the staged volume but clients keep
+    ORIGINAL-volume coordinates; frames match the uncropped service, and
+    update_volume re-applies the same box to original-shape volumes."""
+    vol = np.zeros((40, 44, 42), np.float32)
+    vol[8:32, 6:38, 7:35] = (
+        np.asarray(brain_phantom_3d((24, 32, 28))) / 1e6
+    ).astype(np.float32)
+    geom = BeamGeometry(n_rays=6, num_samples=14, opening_angle=np.radians(30))
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    full = RendererService(vol, geom, cfg, batch_tiers=(2,))
+    cropped = RendererService(vol, geom, cfg, batch_tiers=(2,), crop=True,
+                              crop_margin=4)
+    assert cropped.volume.shape < full.volume.shape
+    srcs = (np.array([20.0, 9.0, 20.0], np.float32)[None]
+            + rng.uniform(-1, 1, (3, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(cropped.render(srcs)), np.asarray(full.render(srcs)),
+        rtol=1e-5, atol=1e-7,
+    )
+    # original-shape volume swap re-crops with the same box
+    cropped.update_volume(vol * 1.1)
+    full.update_volume(vol * 1.1)
+    np.testing.assert_allclose(
+        np.asarray(cropped.render(srcs[:1])),
+        np.asarray(full.render(srcs[:1])),
+        rtol=1e-5, atol=1e-7,
+    )
