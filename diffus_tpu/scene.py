@@ -173,6 +173,10 @@ def crop_to_content(volume, threshold: float = None, mask=None, margin: int = 8,
       offset of the crop origin.  Render with
       ``render_frame(cropped, source - offset, directions, ...)``;
       add ``offset`` back to any returned integer sample coordinates.
+      (One parity caveat: nearest mode rounds half-to-even, which picks
+      a DIFFERENT voxel across an odd offset for coordinates landing
+      exactly on the .5 lattice — a measure-zero set; trilinear values
+      are offset-invariant everywhere.)
     """
     import numpy as np
 

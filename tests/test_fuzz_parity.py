@@ -89,3 +89,54 @@ def test_fuzz_tile_sampler_matches_trilinear(seed):
     idx_b, b = sample_trilinear_tile(vol, jnp.asarray(pts))
     np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-6, atol=3e-6)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_crop_render_equality(seed):
+    """Random content boxes, margins, and in-box sources: the cropped
+    render with shifted source must equal the full-volume render (the
+    crop_to_content coordinate contract, round 4)."""
+    from diffus_tpu.scene import crop_to_content
+    from diffus_tpu.render.renderer import render_frame
+    from diffus_tpu.geometry.fan import fan_directions_2d
+    from diffus_tpu.types import RenderConfig
+
+    r = np.random.default_rng(1000 + seed)
+    shape = tuple(int(x) for x in r.integers(30, 46, 3))
+    vol = np.zeros(shape, np.float32)
+    lo = [int(r.integers(4, 10)) for _ in range(3)]
+    hi = [int(r.integers(s - 10, s - 2)) for s in shape]
+    vol[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = r.uniform(
+        1.0, 2.0, (hi[0] - lo[0], hi[1] - lo[1], hi[2] - lo[2])
+    ).astype(np.float32)
+    # margin/sample-count chosen so every ray (max 8 unit steps + 1
+    # interpolation corner + source jitter) provably stays inside the
+    # cropped box — outside it the crop clamps while the full volume
+    # keeps sampling, and the equality contract deliberately ends there
+    margin = int(r.integers(5, 8))
+    cropped, offset = crop_to_content(vol, margin=margin,
+                                      multiple=int(r.choice([1, 4, 8])))
+    # avoid exact half-integer coordinates: round-half-to-even picks a
+    # DIFFERENT voxel across an odd crop offset (10.5 -> 10 but
+    # 7.5 -> 8), so nearest-mode equality holds off the measure-zero
+    # .5 lattice (documented in crop_to_content)
+    src = np.array([
+        (lo[0] + hi[0]) / 2.0 + float(r.uniform(-2, 2)) + 0.13,
+        lo[1] + 1.37,
+        (lo[2] + hi[2]) / 2.0 + float(r.uniform(-2, 2)) + 0.21,
+    ], np.float32)
+    dirs = fan_directions_2d(
+        [float(r.uniform(-0.3, 0.3)), 1.0], np.radians(float(r.uniform(20, 40))), 5
+    )
+    n = 8
+    cfg = RenderConfig(
+        attenuation_coeff=1e-4,
+        interp="trilinear" if seed % 2 else "nearest",
+    )
+    _, _, _, full = render_frame(jnp.asarray(vol), jnp.asarray(src), dirs, n, cfg)
+    _, _, _, crop = render_frame(
+        cropped, jnp.asarray(src) - jnp.asarray(offset, jnp.float32), dirs, n, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(crop), np.asarray(full), rtol=1e-5, atol=1e-7
+    )
