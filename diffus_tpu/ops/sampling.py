@@ -629,29 +629,24 @@ class Tile3dVolume:
         return cls(children[0], *aux)
 
 
-def prepare_tile3d_volume(volume) -> Tile3dVolume:
-    """Build (or pass through) the overlapped 3D tile table for
-    :func:`sample_trilinear_tile3d_bf16`."""
+def prepare_tile3d_volume(volume, dtype=jnp.bfloat16) -> Tile3dVolume:
+    """Build (or pass through) the overlapped 3D tile table for the
+    one-gather samplers.  ``dtype=jnp.bfloat16`` (default) keeps the
+    256^3 table at ~70 MB; ``jnp.float32`` gives the EXACT one-take mode
+    for volumes small enough that the ~2.03x table still fits the
+    ~128 MB on-chip placement capacity (<= ~240^3, e.g. content-cropped
+    clinical scans — see :func:`sample_trilinear_tile3d_f32`)."""
     if isinstance(volume, Tile3dVolume):
         return volume
-    table, nd, na, nb = _tile3d_table(volume)
+    table, nd, na, nb = _tile3d_table(volume, dtype=dtype)
     return Tile3dVolume(table, nd, na, nb, tuple(volume.shape))
 
 
-def sample_trilinear_tile3d_bf16(volume, points: jax.Array):
-    """Trilinear sampling with ONE row gather per sample: all 8 corners
-    live in one overlapped 3D tile (bf16 corner values, f32 weights).
-
-    The fastest trilinear formulation measured on v5e (0.26 ms/frame at
-    the benchmark config — nearest-gather speed), at the cost of bf16
-    corner precision (~4e-3 relative on values).  NOT the parity or
-    default training path; opt in via ``RenderConfig(interp=
-    'trilinear_bf16')`` for pose sweeps where throughput dominates.
-    ``volume`` may be a raw array or a prepared :class:`Tile3dVolume`.
-    """
+def _sample_tile3d(tv: Tile3dVolume, points: jax.Array):
+    """Shared one-gather 3D-tile sampling body (weights f32; corner
+    values in the table's dtype)."""
     tx, ty, tz = _T3_SHAPE
     sx, sy, sz = _T3_STRIDE
-    tv = prepare_tile3d_volume(volume)
     table, na, nb = tv.table, tv.na, tv.nb
     dims = jnp.asarray(tv.shape, dtype=points.dtype)
     p = jnp.clip(points, 0.0, dims - 1.0)
@@ -687,6 +682,42 @@ def sample_trilinear_tile3d_bf16(volume, points: jax.Array):
     return idx, values
 
 
+def sample_trilinear_tile3d_bf16(volume, points: jax.Array):
+    """Trilinear sampling with ONE row gather per sample: all 8 corners
+    live in one overlapped 3D tile (bf16 corner values, f32 weights).
+
+    0.26 ms/frame at the benchmark config on v5e (nearest-gather speed),
+    at the cost of bf16 corner precision (~4e-3 relative on values).
+    NOT the parity or default training path; opt in via
+    ``RenderConfig(interp='trilinear_bf16')`` for pose sweeps where
+    throughput dominates.  ``volume`` may be a raw array or a prepared
+    :class:`Tile3dVolume`.
+    """
+    return _sample_tile3d(prepare_tile3d_volume(volume), points)
+
+
+def sample_trilinear_tile3d_f32(volume, points: jax.Array):
+    """EXACT trilinear sampling with ONE row gather per sample — the
+    f32 3D-tile mode for volumes whose ~2.03x table fits the ~128 MB
+    on-chip placement capacity (volume <= ~55 MB ~= 240^3 f32; e.g.
+    content-cropped clinical scans, ``scene.crop_to_content``).
+
+    At 256^3 the f32 table is ~130 MB and falls off the placement
+    capacity (measured r3/r4) — the renderer's auto-selection applies a
+    size gate; above it, use :func:`sample_trilinear_tile` (2 gathers)
+    or the bf16 mode.  Values match canonical trilinear on the volume's
+    dtype to blend-order ULPs (the table PRESERVES the volume's values —
+    f32 stays f32; a bf16 serving-mode volume keeps its bf16 values
+    rather than being upcast to a 2x table); differentiable w.r.t.
+    points and volume.
+    """
+    if isinstance(volume, Tile3dVolume):
+        return _sample_tile3d(volume, points)
+    return _sample_tile3d(
+        prepare_tile3d_volume(volume, dtype=volume.dtype), points
+    )
+
+
 SAMPLERS = {
     "nearest": sample_nearest,
     "nearest_rows": sample_nearest_rows,
@@ -697,4 +728,5 @@ SAMPLERS = {
     "trilinear_tile_k2": sample_trilinear_tile_k2,
     "trilinear_tile_fused": sample_trilinear_tile_fused,
     "trilinear_tile3d_bf16": sample_trilinear_tile3d_bf16,
+    "trilinear_tile3d_f32": sample_trilinear_tile3d_f32,
 }

@@ -69,6 +69,38 @@ def _resolve_sampler(interp: str, num_samples: int = 0, step: float = 1.0) -> st
     return interp
 
 
+def _route_tile_family(resolved: str, volume) -> str:
+    """Honor pre-prepared tables in the trace-time sampler choice: a
+    caller may hand the renderer a :class:`TileVolume`/:class:`Tile3dVolume`
+    staged ahead of time (serving, sweeps), possibly of a different tile
+    family than the auto-selected one.
+
+    Raw volumes are NOT auto-upgraded to the exact f32 one-take 3D tile
+    (``sample_trilinear_tile3d_f32``): despite 1 take/sample vs the
+    (y,z) tile's 2, it measured SLOWER end-to-end at every sub-capacity
+    size tried — 224^3 headline-structure sweep 1.064 vs 0.978 ms/frame,
+    and worse at small pose batches (probe_tile3df32[b]_r4,
+    docs/benchmarking.md r4) — the 2.04x f32 table costs more bandwidth
+    than the second take saves.  The sampler stays reachable explicitly
+    (prepared f32 table or direct :func:`trace_rays` interp string)."""
+    if resolved not in ("trilinear_tile", "trilinear_tile_k2"):
+        return resolved
+    from diffus_tpu.ops.sampling import TileVolume, Tile3dVolume
+
+    if isinstance(volume, Tile3dVolume):
+        return (
+            "trilinear_tile3d_bf16"
+            if volume.table.dtype == jnp.bfloat16
+            else "trilinear_tile3d_f32"
+        )
+    if isinstance(volume, TileVolume):
+        # a caller may hand us a table prepared with the per-sample
+        # strides (7, 15) (the r3 workflow) — honor it rather than fail
+        if resolved == "trilinear_tile_k2" and (volume.sy, volume.sz) != (6, 14):
+            return "trilinear_tile"
+    return resolved
+
+
 def _effective_interp(config: RenderConfig) -> str:
     """``use_pallas`` means "Pallas kernels where they win" — today that
     is the fused propagation+attenuation kernel only.  The Pallas
@@ -95,14 +127,9 @@ def trace_rays(
     ``(n_rays, num_samples)``.
     """
     points = ray_points(source, directions, num_samples, step)
-    resolved = _resolve_sampler(interp, num_samples, step)
-    if resolved == "trilinear_tile_k2":
-        from diffus_tpu.ops.sampling import TileVolume
-
-        # a caller may hand us a table prepared with the per-sample
-        # strides (7, 15) (the r3 workflow) — honor it rather than fail
-        if isinstance(volume, TileVolume) and (volume.sy, volume.sz) != (6, 14):
-            resolved = "trilinear_tile"
+    resolved = _route_tile_family(
+        _resolve_sampler(interp, num_samples, step), volume
+    )
     return SAMPLERS[resolved](volume, points)
 
 
@@ -485,8 +512,12 @@ def render_sweep(
                     "TileVolume/Tile3dVolume instead of the raw array.",
                     stacklevel=3,
                 )
+        resolved = _route_tile_family(resolved, volume)
         if resolved == "trilinear_tile3d_bf16":
             volume = prepare_tile3d_volume(volume)
+        elif resolved == "trilinear_tile3d_f32":
+            if not isinstance(volume, Tile3dVolume):
+                volume = prepare_tile3d_volume(volume, dtype=volume.dtype)
         elif resolved == "trilinear_tile_k2":
             volume = prepare_tile_volume(volume, 6, 14)
         else:

@@ -338,3 +338,153 @@ def test_tile_k2_prepared_and_stride_mismatch(rng):
     tv1 = prepare_tile_volume(vol)
     with pytest.raises(ValueError, match="strides"):
         sample_trilinear_tile_k2(tv1, pts)
+
+
+# --- exact f32 one-take 3D tile + volume-aware routing (round 4) ------------
+
+
+def test_tile3d_f32_matches_trilinear_exactly(rng):
+    """The f32 3D-tile sampler is the EXACT one-gather mode: same values
+    as canonical trilinear to blend-order ULPs (unlike the bf16 tile's
+    ~4e-3 corner rounding)."""
+    from diffus_tpu.ops.sampling import sample_trilinear_tile3d_f32
+
+    for shape in [(9, 23, 37), (2, 2, 2), (4, 7, 3), (5, 9, 17)]:
+        vol = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        pts = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(-1.5, max(shape) + 1.5, size=(120, 3)),
+                    [[0.0, 0.0, 0.0],
+                     [shape[0] - 1.0, shape[1] - 1.0, shape[2] - 1.0]],
+                ]
+            ).astype(np.float32)
+        )
+        idx_a, a = sample_trilinear(vol, pts)
+        idx_b, b = sample_trilinear_tile3d_f32(vol, pts)
+        np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_tile3d_f32_gradients_match(rng):
+    from diffus_tpu.ops.sampling import sample_trilinear_tile3d_f32
+
+    vol = jnp.asarray(rng.normal(size=(8, 11, 13)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0.2, 7.5, size=(40, 3)).astype(np.float32))
+
+    def f(fn, p, v):
+        return jnp.sum(fn(v, p)[1] ** 2)
+
+    ga = jax.grad(lambda p: f(sample_trilinear, p, vol))(pts)
+    gb = jax.grad(lambda p: f(sample_trilinear_tile3d_f32, p, vol))(pts)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-4)
+    va = jax.grad(lambda v: f(sample_trilinear, pts, v))(vol)
+    vb = jax.grad(lambda v: f(sample_trilinear_tile3d_f32, pts, v))(vol)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tile3d_f32_prepared_and_dtype_preservation(rng):
+    """prepare_tile3d_volume(dtype=volume.dtype) preserves values (f32
+    stays f32, bf16 stays bf16 — no silent upcast to a 2x table), and the
+    prepared pytree round-trips jit."""
+    from diffus_tpu.ops.sampling import (
+        Tile3dVolume, prepare_tile3d_volume, sample_trilinear_tile3d_f32,
+    )
+
+    vol = jnp.asarray(rng.normal(size=(7, 19, 31)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-1, 32, size=(60, 3)).astype(np.float32))
+    tv = prepare_tile3d_volume(vol, dtype=vol.dtype)
+    assert tv.table.dtype == jnp.float32
+    assert prepare_tile3d_volume(tv) is tv
+    _, a = sample_trilinear_tile3d_f32(vol, pts)
+    _, b = sample_trilinear_tile3d_f32(tv, pts)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    _, c = jax.jit(sample_trilinear_tile3d_f32)(tv, pts)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(c), rtol=1e-6)
+    # bf16 serving-mode volume: table keeps the bf16 values, blends in f32
+    vb16 = vol.astype(jnp.bfloat16)
+    tvb = prepare_tile3d_volume(vb16, dtype=vb16.dtype)
+    assert tvb.table.dtype == jnp.bfloat16
+    _, want = sample_trilinear(vb16, pts)
+    _, got = sample_trilinear_tile3d_f32(vb16, pts)
+    np.testing.assert_allclose(np.asarray(want).astype(np.float32),
+                               np.asarray(got), rtol=2e-6, atol=2e-6)
+    assert isinstance(tvb, Tile3dVolume)
+
+
+def test_route_tile_family(rng):
+    """Prepared tables of any tile family are honored; raw volumes keep
+    the measured-optimal (y,z) tile (the exact f32 one-take 3D tile is a
+    measured end-to-end NEGATIVE — probe_tile3df32[b]_r4 — so it is
+    never auto-selected)."""
+    from diffus_tpu.render import renderer as rmod
+    from diffus_tpu.ops.sampling import (
+        prepare_tile_volume, prepare_tile3d_volume,
+    )
+
+    route = rmod._route_tile_family
+    vol = jnp.zeros((16, 16, 16), jnp.float32)
+    # raw volumes are NOT upgraded to the one-take 3D tile
+    assert route("trilinear_tile", vol) == "trilinear_tile"
+    # non-tile resolutions pass through untouched
+    assert route("trilinear", vol) == "trilinear"
+    assert route("nearest_rows", vol) == "nearest_rows"
+    # prepared 2D tile table is honored (no re-prep, no upgrade)
+    tv = prepare_tile_volume(vol)
+    assert route("trilinear_tile", tv) == "trilinear_tile"
+    # K=2 with a per-sample-stride table falls back to the tile sampler
+    assert route("trilinear_tile_k2", tv) == "trilinear_tile"
+    tv2 = prepare_tile_volume(vol, 6, 14)
+    assert route("trilinear_tile_k2", tv2) == "trilinear_tile_k2"
+    # prepared 3D tables route by their dtype
+    assert (
+        route("trilinear_tile", prepare_tile3d_volume(vol, dtype=vol.dtype))
+        == "trilinear_tile3d_f32"
+    )
+    assert (
+        route("trilinear_tile", prepare_tile3d_volume(vol))
+        == "trilinear_tile3d_bf16"
+    )
+
+
+def test_tile3d_f32_through_renderer(rng, monkeypatch):
+    """A pre-prepared f32 Tile3dVolume routes render_frame AND
+    render_sweep through the exact one-take 3D tile (the serving /
+    explicit-opt-in path — auto-selection is a measured negative) and
+    matches the plain trilinear render on the raw volume."""
+    from diffus_tpu.render import renderer as rmod
+    from diffus_tpu.ops.sampling import prepare_tile3d_volume
+    from diffus_tpu.types import RenderConfig
+    from diffus_tpu.geometry.fan import fan_directions_2d
+    from diffus_tpu.phantoms import brain_phantom_3d
+
+    orig = rmod._resolve_sampler
+
+    def force_tile(interp, num_samples=0, step=1.0):
+        if interp == "trilinear":
+            return "trilinear_tile"
+        return orig(interp, num_samples, step)
+
+    vol = jnp.asarray(brain_phantom_3d((24, 24, 24)))
+    tv = prepare_tile3d_volume(vol, dtype=vol.dtype)
+    dirs = fan_directions_2d([0.2, 1.0], np.radians(50.0), 9)
+    src = jnp.asarray(np.array([12.0, 1.5, 12.0], np.float32))
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    # unique num_samples (22) to dodge cached jit entries from other tests
+    _, _, _, want = rmod.render_frame(vol, src, dirs, 22, cfg)
+    monkeypatch.setattr(rmod, "_resolve_sampler", force_tile)
+    assert rmod._route_tile_family("trilinear_tile", tv) == "trilinear_tile3d_f32"
+    # raw volumes stay on the (y,z) tile under the TPU resolution
+    assert rmod._route_tile_family("trilinear_tile", vol) == "trilinear_tile"
+    _, _, _, got = rmod.render_frame(tv, src, dirs, 22, cfg)
+    srcs = jnp.stack([src, src + 0.61, src - 1.17, src + 1.93])
+    _, _, _, got_sweep = rmod.render_sweep(tv, srcs, dirs, 22, cfg, chunk=2)
+    monkeypatch.setattr(rmod, "_resolve_sampler", orig)
+    _, _, _, want_sweep = rmod.render_sweep(vol, srcs, dirs, 22, cfg, chunk=2)
+    scale = float(np.max(np.abs(np.asarray(want)))) + 1e-30
+    assert np.max(np.abs(np.asarray(got) - np.asarray(want))) / scale < 1e-5
+    s2 = float(np.max(np.abs(np.asarray(want_sweep)))) + 1e-30
+    assert np.max(np.abs(np.asarray(got_sweep) - np.asarray(want_sweep))) / s2 < 1e-5
