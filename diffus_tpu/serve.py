@@ -67,6 +67,14 @@ class RendererService:
     dispatches, not N — observable via the ``batches`` stat.  (The
     window is what makes this work: JAX dispatches are async, so without
     it the leader would drain and exit before stragglers enqueue.)
+
+    ``adaptive_window=True`` makes the straggler window self-tune
+    between ``window_bounds_s``: every drain round that coalesced >1
+    request grows it 1.5x (busy — waiting pays), every lone-request
+    round halves it (idle — the window is pure latency tax).  A lone
+    client converges to the floor (~0.5 ms added latency instead of 3),
+    a bursty fleet to the ceiling; the live value is in
+    ``snapshot_stats()['window_ms']``.
     """
 
     def __init__(
@@ -80,6 +88,8 @@ class RendererService:
         mesh=None,
         coalesce: bool = True,
         coalesce_window_s: float = 0.003,
+        adaptive_window: bool = False,
+        window_bounds_s: tuple = (0.0005, 0.008),
         crop: bool = False,
         crop_margin: int = 16,
     ):
@@ -147,10 +157,19 @@ class RendererService:
             self._fn = lambda v, s, d: sharded_render_sweep(
                 mesh, v, s, d, self.geometry.num_samples, self.config, step=step
             )[3]
-        self.stats = {"requests": 0, "frames": 0, "padded_frames": 0, "batches": 0}
+        self.stats = {
+            "requests": 0, "frames": 0, "padded_frames": 0, "batches": 0,
+            "recoveries": 0,
+        }
         self._lock = threading.Lock()
         self._coalesce = bool(coalesce)
+        self._adaptive = bool(adaptive_window)
+        self._wmin, self._wmax = (float(b) for b in window_bounds_s)
+        if self._wmin > self._wmax:
+            raise ValueError("window_bounds_s must be (min, max)")
         self._window = float(coalesce_window_s)
+        if self._adaptive:
+            self._window = min(max(self._window, self._wmin), self._wmax)
         self._queue: list = []          # pending _Pending requests
         self._dispatching = False       # a leader is draining the queue
         self._staged = self._prepare(self.volume)
@@ -285,6 +304,14 @@ class RendererService:
                 if not batch:
                     self._dispatching = False
                     return
+                if self._adaptive:
+                    # self-tuning straggler window: coalescing happened →
+                    # waiting pays, grow; lone request → the window was
+                    # pure latency tax, shrink (bounded both ways)
+                    if len(batch) > 1:
+                        self._window = min(self._wmax, self._window * 1.5)
+                    else:
+                        self._window = max(self._wmin, self._window * 0.5)
                 volume = self._staged  # one volume per dispatched batch
             try:
                 sources = (
@@ -377,9 +404,12 @@ class RendererService:
         return req.result
 
     def snapshot_stats(self) -> dict:
-        """Consistent copy of the request counters."""
+        """Consistent copy of the request counters (plus the live
+        coalescing window in ms)."""
         with self._lock:
-            return dict(self.stats)
+            out = dict(self.stats)
+            out["window_ms"] = round(self._window * 1e3, 3)
+            return out
 
     def update_volume(self, volume) -> None:
         """Swap the resident volume (e.g. new case) without recompiling —
@@ -404,6 +434,118 @@ class RendererService:
             self.volume = staged
             self._staged = prepared
 
+    def recover_pose(
+        self,
+        target_frame,
+        init_position,
+        count: int = 8,
+        radius: float = 3.0,
+        rot_scale: float = 0.05,
+        phases=None,
+        seed: int = 0,
+    ) -> dict:
+        """Recover the 6-DoF transducer pose that produced
+        ``target_frame`` against the resident volume (multistart annealed
+        descent, :func:`diffus_tpu.train.pose_recovery
+        .recover_pose_multistart_annealed`).
+
+        The forward model is this service's render config with
+        ``interp='trilinear'`` (gradients need interpolation) over the
+        CANONICAL fan oriented by the recovered rotation — a frame from
+        this service's ``render`` (fixed fan) corresponds to
+        ``rotvec=0`` when the service uses the default median direction.
+        In ``crop=True`` mode positions are translated both ways, so
+        clients stay in original-volume coordinates.
+
+        Args:
+          target_frame: ``(n_rays, num_samples - start)`` observed frame.
+          init_position: ``(3,)`` search center (e.g. tracker prior).
+          count/radius/rot_scale: multistart perturbation distribution.
+          phases: optional override for
+            :class:`AnnealedPoseConfig.phases` (each item
+            ``(blur_sigma, lr_pos, lr_rot, steps)``).
+          seed: PRNG seed for the start perturbations.
+        Returns:
+          dict with the best start's ``position``/``rotvec``/
+          ``final_loss``/``best_index`` plus per-start ``positions``,
+          ``rotvecs`` and ``final_losses`` (client coordinates).
+
+        First call per (count, phases) pays a compile; subsequent calls
+        hit the jit cache.  Runs outside the service lock (the device
+        queue serializes with in-flight renders).
+        """
+        import dataclasses
+
+        from diffus_tpu.train.pose_recovery import (
+            AnnealedPoseConfig,
+            recover_pose_multistart_annealed,
+            sample_init_poses,
+        )
+
+        target = jnp.asarray(target_frame, jnp.float32)
+        depth = self.geometry.num_samples - self.config.start_index(
+            self.geometry.num_samples
+        )
+        if target.shape != (self.geometry.n_rays, depth):
+            raise ValueError(
+                f"target frame shape {target.shape} != expected "
+                f"({self.geometry.n_rays}, {depth})"
+            )
+        init_position = jnp.asarray(init_position, jnp.float32)
+        if self._offset is not None:
+            init_position = init_position - self._offset
+        render_cfg = self.config
+        if render_cfg.interp != "trilinear":
+            render_cfg = dataclasses.replace(render_cfg, interp="trilinear")
+        cfg = AnnealedPoseConfig(geometry=self.geometry, render=render_cfg)
+        if phases is not None:
+            cfg = dataclasses.replace(
+                cfg,
+                phases=tuple(
+                    (float(s), float(lp), float(lr), int(n))
+                    for s, lp, lr, n in phases
+                ),
+            )
+        with self._lock:
+            volume = self.volume  # raw staged volume (not a tile table)
+            self.stats["recoveries"] += 1
+        init = sample_init_poses(
+            jax.random.PRNGKey(seed), init_position, radius, rot_scale, count
+        )
+        poses, losses, _ = recover_pose_multistart_annealed(
+            volume, target, init, cfg
+        )
+        positions = np.asarray(poses.position)
+        if self._offset is not None:
+            positions = positions + np.asarray(self._offset)
+        rotvecs = np.asarray(poses.rotvec)
+        finals = np.asarray(losses)[:, -1]
+        # zero-impedance regions make the parity reflection coefficient
+        # 0/0 — forward frames are nan_to_num-cleaned (reference
+        # semantics) but GRADIENTS through them are NaN, which silently
+        # destroys a descent.  Pick the best among finite starts; if
+        # every start diverged, fail loudly with the fix.
+        valid = np.isfinite(finals) & np.all(np.isfinite(positions), axis=1)
+        if not np.any(valid):
+            raise ValueError(
+                "pose recovery diverged on every start (non-finite "
+                "losses/poses) — the resident volume likely contains "
+                "zero-impedance regions whose reflection gradients are "
+                "NaN; map it to impedance first (e.g. "
+                "impedance.tabular_impedance_volume) or add a positive "
+                "floor"
+            )
+        b = int(np.argmin(np.where(valid, finals, np.inf)))
+        return {
+            "position": positions[b].tolist(),
+            "rotvec": rotvecs[b].tolist(),
+            "final_loss": float(finals[b]),
+            "best_index": b,
+            "positions": positions.tolist(),
+            "rotvecs": rotvecs.tolist(),
+            "final_losses": finals.tolist(),
+        }
+
 
 def make_http_server(service: RendererService, host: str = "127.0.0.1",
                      port: int = 8080, max_body_bytes: int = 1 << 30):
@@ -418,6 +560,11 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
               decode with ``np.load(io.BytesIO(base64.b64decode(s)))``)
       POST /update_volume {"npy_b64": "..."}   (same-shape volume swap:
            new case without recompiling; tables re-staged)
+      POST /recover {"target_npy_b64": "...", "init_position": [x,y,z],
+           "count"?: 8, "radius"?: 3.0, "rot_scale"?: 0.05,
+           "phases"?: [[sigma, lr_pos, lr_rot, steps], ...], "seed"?: 0}
+           -> best-start pose + per-start results
+              (see :meth:`RendererService.recover_pose`)
 
     Returns a ``ThreadingHTTPServer`` (call ``serve_forever()``; the
     service's internal lock makes concurrent handler threads safe).
@@ -481,6 +628,20 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
                     new = np.load(io.BytesIO(base64.b64decode(req["npy_b64"])))
                     service.update_volume(new)
                     self._send(200, {"ok": True, "shape": list(new.shape)})
+                elif self.path == "/recover":
+                    target = np.load(
+                        io.BytesIO(base64.b64decode(req["target_npy_b64"]))
+                    )
+                    result = service.recover_pose(
+                        target,
+                        np.asarray(req["init_position"], np.float32),
+                        count=int(req.get("count", 8)),
+                        radius=float(req.get("radius", 3.0)),
+                        rot_scale=float(req.get("rot_scale", 0.05)),
+                        phases=req.get("phases"),
+                        seed=int(req.get("seed", 0)),
+                    )
+                    self._send(200, result)
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # surface bad requests, don't kill the server

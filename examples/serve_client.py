@@ -72,6 +72,34 @@ def main():
     ms = (time.perf_counter() - t0) * 1e3
     print(f"rendered {frames.shape} over the wire in {ms:.1f} ms")
 
+    # pose recovery over the wire: where was this frame taken from?
+    # (run against the impedance-like brain phantom — a volume with
+    # zero-impedance regions has NaN reflection GRADIENTS and /recover
+    # would refuse with a pointer to the impedance mapping)
+    from diffus_tpu.train.pose_recovery import AnnealedPoseConfig, render_pose
+    from diffus_tpu.types import TransducerPose
+    import dataclasses
+
+    true = np.array([d / 2, 2.0, d / 2], np.float32)
+    cfg = AnnealedPoseConfig(
+        geometry=svc.geometry,
+        render=dataclasses.replace(svc.config, interp="trilinear"),
+    )
+    target = render_pose(svc.volume, TransducerPose.create(true), cfg.as_base())
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(target))
+    t0 = time.perf_counter()
+    rec = post(f"{url}/recover", {
+        "target_npy_b64": base64.b64encode(buf.getvalue()).decode(),
+        "init_position": (true + [1.0, -0.5, 0.8]).tolist(),
+        "count": 4, "radius": 1.0, "rot_scale": 0.0,
+        "phases": [[1.0, 0.2, 0.0, 60], [0.0, 0.1, 0.0, 90]],
+    })
+    err = float(np.linalg.norm(np.array(rec["position"]) - true))
+    print(f"recovered pose over the wire in "
+          f"{time.perf_counter() - t0:.1f}s: {rec['position']} "
+          f"(err {err:.3f} vox, loss {rec['final_loss']:.2e})")
+
     # case swap: new volume, no recompile, renders change
     buf = io.BytesIO()
     np.save(buf, t1_phantom_3d((d, d, d)))

@@ -257,6 +257,72 @@ def test_cli_serve_http_update_volume():
         server.server_close()
 
 
+def test_cli_serve_http_recover():
+    """POST /recover runs multistart pose recovery over the wire and
+    returns the best pose in client coordinates."""
+    import base64
+    import dataclasses
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from diffus_tpu.serve import RendererService, make_http_server
+    from diffus_tpu.train.pose_recovery import AnnealedPoseConfig, render_pose
+    from diffus_tpu.types import RenderConfig, BeamGeometry, TransducerPose
+    from diffus_tpu.phantoms import brain_phantom_3d
+
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    svc = RendererService(
+        vol, geom, RenderConfig(attenuation_coeff=1e-4), batch_tiers=(1,),
+    )
+    true = np.array([8.0, 1.0, 8.0], np.float32)
+    cfg = AnnealedPoseConfig(
+        geometry=geom, render=dataclasses.replace(svc.config, interp="trilinear")
+    )
+    target = render_pose(svc.volume, TransducerPose.create(true), cfg.as_base())
+    server = make_http_server(svc, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(target))
+        req = urllib.request.Request(
+            f"{url}/recover",
+            data=_json.dumps({
+                "target_npy_b64": base64.b64encode(buf.getvalue()).decode(),
+                "init_position": [8.6, 1.4, 7.6],
+                "count": 2,
+                "radius": 0.6,
+                "rot_scale": 0.0,
+                "phases": [[1.0, 0.2, 0.0, 60], [0.0, 0.1, 0.0, 90]],
+                "seed": 2,
+            }).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.load(r)
+        assert len(out["position"]) == 3 and len(out["rotvec"]) == 3
+        assert len(out["final_losses"]) == 2
+        assert np.linalg.norm(np.array(out["position"]) - true) < 0.6
+        # malformed target -> 400, server survives
+        bad = urllib.request.Request(
+            f"{url}/recover", data=b"{}", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"{url}/stats", timeout=10) as r:
+            assert _json.load(r)["recoveries"] >= 1
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_cli_recover_pose_multistart(tmp_path, capsys):
     vol_path = os.path.join(str(tmp_path), "t1.nii.gz")
     save_nifti(vol_path, t1_phantom_3d((20, 20, 20)))

@@ -337,3 +337,147 @@ def test_service_crop_mode_transparent_to_clients(rng):
         np.asarray(full.render(srcs[:1])),
         rtol=1e-5, atol=1e-7,
     )
+
+
+# --- round 4b: adaptive coalescing window + pose-recovery endpoint ----------
+
+
+def test_service_adaptive_window_controller():
+    """The self-tuning straggler window: grows 1.5x on coalesced drain
+    rounds, halves on lone-request rounds, clamped to bounds."""
+    import threading
+
+    from diffus_tpu.serve import _Pending
+
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(
+        vol, geom, RenderConfig(attenuation_coeff=1e-4), batch_tiers=(1, 4),
+        adaptive_window=True, coalesce_window_s=0.004,
+        window_bounds_s=(0.001, 0.008),
+    )
+    s.warmup()
+    assert s.snapshot_stats()["window_ms"] == 4.0
+    # deterministic coalesced round: 3 queued requests drained by one
+    # leader -> window grows 1.5x and every waiter gets its slice
+    reqs = [
+        _Pending(jnp.asarray(np.array([[8.0, 1.0 + i, 8.0]], np.float32)))
+        for i in range(3)
+    ]
+    with s._lock:
+        s._queue.extend(reqs)
+        s._dispatching = True
+    s._drain()
+    assert s.snapshot_stats()["window_ms"] == 6.0
+    for r in reqs:
+        assert r.event.is_set() and r.error is None
+        assert np.asarray(r.result).shape == (1, 4, 8)
+    # lone requests halve it down to the floor
+    src = np.array([8.0, 1.0, 8.0], np.float32)
+    s.render(src)
+    assert s.snapshot_stats()["window_ms"] == 3.0
+    for _ in range(3):
+        s.render(src)
+    assert s.snapshot_stats()["window_ms"] == 1.0  # clamped at min
+    # ...and coalesced traffic is capped at the ceiling
+    # (1.0 -> x1.5^6 = 11.4, clamped to 8)
+    for _ in range(6):
+        with s._lock:
+            s._queue.extend(
+                _Pending(jnp.asarray(np.array([[8.0, 1.0, 8.0]], np.float32)))
+                for _ in range(2)
+            )
+            s._dispatching = True
+        s._drain()
+    assert s.snapshot_stats()["window_ms"] == 8.0  # clamped at max
+    with pytest.raises(ValueError, match="window_bounds"):
+        RendererService(
+            vol, geom, RenderConfig(attenuation_coeff=1e-4),
+            adaptive_window=True, window_bounds_s=(0.01, 0.001),
+        )
+
+
+def test_service_recover_pose(svc):
+    """End-to-end pose recovery through the service: target rendered at a
+    known pose, multistart annealed descent recovers it (forward model =
+    service config with interp='trilinear', canonical fan)."""
+    import dataclasses
+
+    from diffus_tpu.train.pose_recovery import AnnealedPoseConfig, render_pose
+    from diffus_tpu.types import TransducerPose
+
+    true = np.array([12.0, 1.5, 12.0], np.float32)
+    cfg = AnnealedPoseConfig(
+        geometry=svc.geometry,
+        render=dataclasses.replace(svc.config, interp="trilinear"),
+    )
+    target = render_pose(svc.volume, TransducerPose.create(true), cfg.as_base())
+    res = svc.recover_pose(
+        np.asarray(target), true + np.array([0.9, -0.6, 0.7], np.float32),
+        count=4, radius=1.0, rot_scale=0.0,
+        phases=((1.0, 0.2, 0.0, 40), (0.0, 0.1, 0.0, 40)), seed=1,
+    )
+    best_err = np.linalg.norm(np.array(res["position"]) - true)
+    assert best_err < 0.3
+    assert res["final_loss"] < 1e-6
+    errs = [
+        np.linalg.norm(np.array(p) - true) for p in res["positions"]
+    ]
+    assert sum(e < 1.0 for e in errs) >= 2  # most starts recover
+    assert len(res["final_losses"]) == 4
+    assert svc.snapshot_stats()["recoveries"] >= 1
+    # wrong target shape is a loud error
+    with pytest.raises(ValueError, match="target frame shape"):
+        svc.recover_pose(np.zeros((3, 3), np.float32), true)
+
+
+def test_service_recover_pose_crop_coordinates():
+    """crop=True recovery: clients pass and receive ORIGINAL-volume
+    coordinates; the service translates across the crop box."""
+    from diffus_tpu.train.pose_recovery import AnnealedPoseConfig, render_pose
+    from diffus_tpu.types import TransducerPose
+    import dataclasses
+
+    full = np.zeros((32, 32, 32), np.float32)
+    full[6:30, 4:28, 6:30] = brain_phantom_3d((24, 24, 24))
+    geom = BeamGeometry(n_rays=8, num_samples=16, opening_angle=np.radians(40))
+    s = RendererService(
+        full, geom, RenderConfig(attenuation_coeff=1e-4), batch_tiers=(1, 4),
+        crop=True, crop_margin=0,
+    )
+    assert s.volume.shape != (32, 32, 32)  # actually cropped
+    true = np.array([18.0, 5.5, 18.0], np.float32)  # original coords
+    cfg = AnnealedPoseConfig(
+        geometry=geom, render=dataclasses.replace(s.config, interp="trilinear")
+    )
+    # forward model renders in CROPPED coordinates
+    target = render_pose(
+        s.volume,
+        TransducerPose.create(jnp.asarray(true) - s._offset),
+        cfg.as_base(),
+    )
+    res = s.recover_pose(
+        np.asarray(target), true + np.array([0.7, -0.4, 0.5], np.float32),
+        count=2, radius=0.8, rot_scale=0.0,
+        phases=((0.0, 0.15, 0.0, 50),), seed=3,
+    )
+    best_err = np.linalg.norm(np.array(res["position"]) - true)
+    assert best_err < 0.5  # recovered in ORIGINAL coordinates
+
+
+def test_service_recover_pose_divergence_is_loud():
+    """A volume with zero-impedance regions has NaN reflection gradients;
+    when every start diverges the service raises the actionable error
+    instead of returning NaN poses."""
+    vol = np.zeros((16, 16, 16), np.float32)
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(
+        vol, geom, RenderConfig(attenuation_coeff=1e-4), batch_tiers=(1,),
+    )
+    target = np.zeros((4, 8), np.float32)
+    with pytest.raises(ValueError, match="zero-impedance"):
+        s.recover_pose(
+            target, np.array([8.0, 1.0, 8.0], np.float32),
+            count=2, radius=0.5, rot_scale=0.0,
+            phases=((0.0, 0.1, 0.0, 5),), seed=0,
+        )
