@@ -385,6 +385,7 @@ def cmd_serve(args):
         batch_tiers=tuple(args.tiers),
         mesh=mesh,
         crop=args.crop,
+        adaptive_window=args.adaptive_window,
     )
     warm = svc.warmup()
     server = make_http_server(svc, host=args.host, port=args.port)
@@ -520,6 +521,10 @@ def main(argv=None):
                    help="content-crop the volume at startup (6-9x for big "
                         "scans with air margins; client coordinates "
                         "unchanged)")
+    p.add_argument("--adaptive-window", action="store_true",
+                   help="self-tune the request-coalescing straggler window "
+                        "(lone clients shed the latency tax, bursty fleets "
+                        "coalesce harder)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.set_defaults(fn=cmd_serve)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffus_tpu.types import RenderConfig, BeamGeometry
+from diffus_tpu.types import RenderConfig, BeamGeometry, TransducerPose
 from diffus_tpu.render.renderer import render_sweep
 from diffus_tpu.geometry.fan import fan_directions_2d
 
@@ -249,6 +249,40 @@ class RendererService:
             self._fn(self._staged, src, self.directions).block_until_ready()
         return time.perf_counter() - t0
 
+    def warmup_recovery(self, count: int = 8, phases=None) -> float:
+        """Precompile (and fully execute once) the pose-recovery program
+        for ``(count, phases)`` so the first ``/recover`` request does
+        not pay the trace+compile+descent (~30 s on CPU, longer through
+        a remote-TPU tunnel).  The jit cache is keyed on the static
+        schedule and the start count, so pass the SAME ``count`` and
+        ``phases`` that requests will use.  Returns seconds spent.
+        Raises the zero-impedance error early if the resident volume
+        cannot support recovery gradients at all."""
+        from diffus_tpu.train.pose_recovery import render_pose
+
+        t0 = time.perf_counter()
+        with self._lock:
+            volume = self.volume
+        center = (jnp.asarray(volume.shape, jnp.float32) - 1.0) / 2.0
+        # a real rendered target (an all-zeros one can put the descent on
+        # degenerate plateaus); recover_pose translates coordinates, so
+        # hand it the ORIGINAL-frame center
+        cfg = self._recovery_config(phases)
+        target = render_pose(
+            volume,
+            TransducerPose.create(center),
+            cfg.as_base(),
+        )
+        if self._offset is not None:
+            center = center + self._offset
+        self.recover_pose(
+            np.asarray(target), center, count=count, radius=0.5,
+            rot_scale=0.01, phases=phases,
+        )
+        with self._lock:
+            self.stats["recoveries"] -= 1  # warmup is not a request
+        return time.perf_counter() - t0
+
     def _dispatch(self, volume, sources) -> jax.Array:
         """Pad to tiers and run the compiled sweep.  NO lock held: the
         device queue serializes compute; holding the service lock across
@@ -434,6 +468,28 @@ class RendererService:
             self.volume = staged
             self._staged = prepared
 
+    def _recovery_config(self, phases=None):
+        """The pose-recovery forward model: this service's render config
+        with ``interp='trilinear'`` (gradients need interpolation), the
+        service geometry, and an optional phase-schedule override."""
+        import dataclasses
+
+        from diffus_tpu.train.pose_recovery import AnnealedPoseConfig
+
+        render_cfg = self.config
+        if render_cfg.interp != "trilinear":
+            render_cfg = dataclasses.replace(render_cfg, interp="trilinear")
+        cfg = AnnealedPoseConfig(geometry=self.geometry, render=render_cfg)
+        if phases is not None:
+            cfg = dataclasses.replace(
+                cfg,
+                phases=tuple(
+                    (float(s), float(lp), float(lr), int(n))
+                    for s, lp, lr, n in phases
+                ),
+            )
+        return cfg
+
     def recover_pose(
         self,
         target_frame,
@@ -470,14 +526,12 @@ class RendererService:
           ``final_loss``/``best_index`` plus per-start ``positions``,
           ``rotvecs`` and ``final_losses`` (client coordinates).
 
-        First call per (count, phases) pays a compile; subsequent calls
-        hit the jit cache.  Runs outside the service lock (the device
-        queue serializes with in-flight renders).
+        First call per (count, phases) pays a compile
+        (:meth:`warmup_recovery` prepays it); subsequent calls hit the
+        jit cache.  Runs outside the service lock (the device queue
+        serializes with in-flight renders).
         """
-        import dataclasses
-
         from diffus_tpu.train.pose_recovery import (
-            AnnealedPoseConfig,
             recover_pose_multistart_annealed,
             sample_init_poses,
         )
@@ -494,18 +548,7 @@ class RendererService:
         init_position = jnp.asarray(init_position, jnp.float32)
         if self._offset is not None:
             init_position = init_position - self._offset
-        render_cfg = self.config
-        if render_cfg.interp != "trilinear":
-            render_cfg = dataclasses.replace(render_cfg, interp="trilinear")
-        cfg = AnnealedPoseConfig(geometry=self.geometry, render=render_cfg)
-        if phases is not None:
-            cfg = dataclasses.replace(
-                cfg,
-                phases=tuple(
-                    (float(s), float(lp), float(lr), int(n))
-                    for s, lp, lr, n in phases
-                ),
-            )
+        cfg = self._recovery_config(phases)
         with self._lock:
             volume = self.volume  # raw staged volume (not a tile table)
             self.stats["recoveries"] += 1

@@ -481,3 +481,27 @@ def test_service_recover_pose_divergence_is_loud():
             count=2, radius=0.5, rot_scale=0.0,
             phases=((0.0, 0.1, 0.0, 5),), seed=0,
         )
+
+
+def test_service_warmup_recovery(svc):
+    """warmup_recovery precompiles-and-runs the recovery program without
+    counting as a client request; the subsequent same-shape recover hits
+    the jit cache (no retrace)."""
+    import time as _time
+
+    phases = ((0.0, 0.1, 0.0, 10),)
+    before = svc.snapshot_stats()["recoveries"]
+    spent = svc.warmup_recovery(count=2, phases=phases)
+    assert spent > 0
+    assert svc.snapshot_stats()["recoveries"] == before
+    # a matching request is now cache-warm: much faster than the warmup
+    target = np.zeros(
+        (svc.geometry.n_rays, svc.geometry.num_samples), np.float32
+    )
+    t0 = _time.perf_counter()
+    res = svc.recover_pose(
+        target, np.array([12.0, 1.5, 12.0], np.float32),
+        count=2, radius=0.5, rot_scale=0.0, phases=phases,
+    )
+    assert _time.perf_counter() - t0 < spent
+    assert len(res["final_losses"]) == 2
