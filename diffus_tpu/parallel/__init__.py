@@ -11,3 +11,7 @@ from diffus_tpu.parallel.shard import (
     shard_batch,
     sharded_recover_pose_multistart,
 )
+from diffus_tpu.parallel.tp import (
+    tp_shard_params,
+    tp_train_on_table,
+)

@@ -496,7 +496,15 @@ def render_sweep(
             # tables place on-chip only up to ~128 MB; past that, the
             # per-dispatch build is pure overhead (15 vs 3.1 ms/frame at
             # 512^3).  Warn at trace time — the fixes are host-side.
-            table_bytes = int(volume.size) * volume.dtype.itemsize * (
+            # bytes of the table that will actually be BUILT: the bf16
+            # 3D tile stores bf16 corners (2 B/elem) whatever the input
+            # dtype — sizing it by the f32 volume falsely warned on the
+            # headline bf16 sweep (caught in the r4 bench output)
+            elem = (
+                2 if resolved == "trilinear_tile3d_bf16"
+                else volume.dtype.itemsize
+            )
+            table_bytes = int(volume.size) * elem * (
                 2.04 if resolved == "trilinear_tile3d_bf16" else 1.36
             )
             if table_bytes > 125_000_000:

@@ -362,3 +362,51 @@ def test_sharded_sweep_forced_k2_matches_single_device(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(sharded), np.asarray(local), rtol=2e-5, atol=1e-7
     )
+
+
+# --- tensor parallelism for scaled-width impedance MLPs (round 4b) ----------
+
+
+def test_tp_table_fit_matches_single_device():
+    """Megatron-style column/row GSPMD sharding of a 64-wide impedance
+    MLP: the TP fit's loss trajectory and final params match the
+    unsharded fit to f32 reassociation tolerance, and the kernels are
+    genuinely distributed (not silently replicated)."""
+    from diffus_tpu.impedance.mlp import init_params, train_on_table
+    from diffus_tpu.impedance.table import table_arrays
+    from diffus_tpu.parallel import make_mesh, tp_train_on_table
+
+    x, y, _ = table_arrays()
+    hidden = (64, 64)
+    params = init_params(jax.random.PRNGKey(0), hidden)
+    mesh = make_mesh(2, 4)
+    p_tp, loss_tp = tp_train_on_table(
+        mesh, params, x, y, hidden=hidden, epochs=50, lr=1e-3
+    )
+    p_ref, loss_ref = train_on_table(
+        params, jnp.asarray(x).reshape(-1, 1), jnp.asarray(y).reshape(-1, 1),
+        hidden=hidden, epochs=50, lr=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(loss_tp), np.asarray(loss_ref), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(p_tp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+    for layer in ("Dense_0", "Dense_1"):
+        assert not p_tp["params"][layer]["kernel"].sharding.is_fully_replicated
+    # column layer: features sharded over `ray`
+    assert (
+        p_tp["params"]["Dense_0"]["kernel"].sharding.spec[1] == "ray"
+    )
+
+
+def test_tp_rejects_nondivisible_width():
+    from diffus_tpu.impedance.mlp import init_params
+    from diffus_tpu.parallel import make_mesh
+    from diffus_tpu.parallel.tp import tp_shard_params
+
+    params = init_params(jax.random.PRNGKey(0), (30, 30))
+    with pytest.raises(ValueError, match="does not divide"):
+        tp_shard_params(make_mesh(2, 4), params)

@@ -557,3 +557,43 @@ def test_render_sweep_warns_on_overcapacity_table(monkeypatch, rng):
             pass  # rendering a 320^3 zero volume on CPU may be slow/odd;
                   # only the warning emission is under test
         assert [x for x in w if "placement capacity" in str(x.message)]
+
+
+def test_sweep_capacity_warning_sizes_the_actual_table(monkeypatch):
+    """The over-capacity trace-time warning must size the table that will
+    actually be BUILT: a 288^3 f32 volume under interp='trilinear_bf16'
+    builds a ~98 MB bf16 table (NO warning — the f32-sized estimate
+    falsely warned on the headline bf16 sweep, caught in the r4 bench
+    output), while a forced (y,z) f32 tile at 320^3 really is ~178 MB
+    (warning).  eval_shape traces without allocating the volumes."""
+    import warnings as _warnings
+
+    import jax
+
+    from diffus_tpu.render import renderer as rmod
+    from diffus_tpu.types import RenderConfig
+
+    def sweep(cfg, dim):
+        vol = jax.ShapeDtypeStruct((dim,) * 3, jnp.float32)
+        srcs = jax.ShapeDtypeStruct((2, 3), jnp.float32)
+        dirs = jax.ShapeDtypeStruct((4, 3), jnp.float32)
+        return jax.eval_shape(
+            lambda v, s, d: rmod.render_sweep(v, s, d, 8, cfg)[3],
+            vol, srcs, dirs,
+        )
+
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        sweep(RenderConfig(attenuation_coeff=1e-4, interp="trilinear_bf16"), 288)
+    assert not [x for x in w if "gather table" in str(x.message)]
+
+    orig = rmod._resolve_sampler
+    monkeypatch.setattr(
+        rmod, "_resolve_sampler",
+        lambda i, n=0, s=1.0: "trilinear_tile" if i == "trilinear"
+        else orig(i, n, s),
+    )
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        sweep(RenderConfig(attenuation_coeff=1e-4, interp="trilinear"), 320)
+    assert [x for x in w if "gather table" in str(x.message)]
