@@ -388,17 +388,20 @@ def cmd_serve(args):
         adaptive_window=args.adaptive_window,
     )
     warm = svc.warmup()
-    server = make_http_server(svc, host=args.host, port=args.port)
-    print(
-        json.dumps(
-            {
-                "listening": f"http://{args.host}:{server.server_address[1]}",
-                "warmup_s": round(warm, 2),
-                "tiers": list(svc.batch_tiers),
-            }
-        ),
-        flush=True,
+    warm_rec = (
+        svc.warmup_recovery(count=args.warmup_recovery)
+        if args.warmup_recovery > 0
+        else None
     )
+    server = make_http_server(svc, host=args.host, port=args.port)
+    status = {
+        "listening": f"http://{args.host}:{server.server_address[1]}",
+        "warmup_s": round(warm, 2),
+        "tiers": list(svc.batch_tiers),
+    }
+    if warm_rec is not None:
+        status["warmup_recovery_s"] = round(warm_rec, 2)
+    print(json.dumps(status), flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -525,6 +528,10 @@ def main(argv=None):
                    help="self-tune the request-coalescing straggler window "
                         "(lone clients shed the latency tax, bursty fleets "
                         "coalesce harder)")
+    p.add_argument("--warmup-recovery", type=int, default=0, metavar="COUNT",
+                   help="precompile the /recover pose-recovery program for "
+                        "COUNT multistart descents at startup (first client "
+                        "call is cache-warm)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.set_defaults(fn=cmd_serve)
