@@ -20,14 +20,9 @@ weight + matmul sharding, the TP building block.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from diffus_tpu.impedance.mlp import ImpedanceMLP
 
 
 def _tp_specs(params, axis: str):
@@ -51,17 +46,22 @@ def _tp_specs(params, axis: str):
 
 def tp_shard_params(mesh: Mesh, params, axis: str = "ray"):
     """Lay MLP params out tensor-parallel on ``mesh`` (column/row
-    alternating over ``axis``).  Widths must divide the axis size —
-    refused loudly otherwise (GSPMD would silently replicate)."""
+    alternating over ``axis``).  Dims the layout actually shards must
+    divide the axis size — refused loudly otherwise (GSPMD would
+    silently pad); replicated dims (e.g. row-layer biases) are free."""
     n = mesh.shape[axis]
-    for name, leaf in jax.tree_util.tree_leaves_with_path(params):
-        if leaf.ndim and max(leaf.shape) % n and max(leaf.shape) > 1:
-            raise ValueError(
-                f"param {jax.tree_util.keystr(name)} shape {leaf.shape} "
-                f"does not divide the {axis!r} axis ({n}); pick hidden "
-                "widths that are multiples of the TP degree"
-            )
     specs = _tp_specs(params, axis)
+    for lname, lspec in specs["params"].items():
+        for pname, spec in lspec.items():
+            shape = params["params"][lname][pname].shape
+            for dim, ax in zip(shape, spec):
+                if ax == axis and dim % n:
+                    raise ValueError(
+                        f"param {lname}/{pname} shape {shape}: sharded "
+                        f"dim {dim} does not divide the {axis!r} axis "
+                        f"({n}); pick hidden widths that are multiples "
+                        "of the TP degree"
+                    )
     return jax.device_put(
         params,
         jax.tree.map(
@@ -69,32 +69,6 @@ def tp_shard_params(mesh: Mesh, params, axis: str = "ray"):
             is_leaf=lambda x: isinstance(x, P),
         ),
     )
-
-
-@partial(jax.jit, static_argnames=("hidden", "epochs", "lr"))
-def _tp_fit(params, x, y, hidden, epochs, lr):
-    """Same scan-compiled Adam fit as ``train_on_table``; the TP
-    placement comes entirely from the params' input shardings (GSPMD
-    propagates them through the grads and optimizer state and inserts
-    the psums — nothing model-specific to rewrite)."""
-    model = ImpedanceMLP(hidden=tuple(hidden))
-    tx = optax.adam(lr)
-    opt_state = tx.init(params)
-
-    def loss_fn(p):
-        pred = model.apply(p, x)
-        return jnp.mean((pred - y) ** 2)
-
-    def step(carry, _):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, s = tx.update(grads, s, p)
-        return (optax.apply_updates(p, updates), s), loss
-
-    (params, _), losses = jax.lax.scan(
-        step, (params, opt_state), None, length=epochs
-    )
-    return params, losses
 
 
 def tp_train_on_table(
@@ -108,9 +82,15 @@ def tp_train_on_table(
     axis: str = "ray",
 ):
     """Tensor-parallel table fit: shard ``params`` over ``mesh[axis]``,
-    replicate the (tiny) table batch, run the scan-compiled fit.  Output
-    params keep the TP layout (feed them to further TP steps or
-    ``jax.device_get`` to gather).  Returns ``(params, losses)``."""
+    replicate the (tiny) table batch, and run the SAME scan-compiled
+    ``train_on_table`` loop — the TP placement comes entirely from the
+    params' input shardings (GSPMD propagates them through the grads and
+    optimizer state and inserts the psums; nothing model-specific to
+    rewrite).  Output params keep the TP layout (feed them to further
+    TP steps or ``jax.device_get`` to gather).
+    Returns ``(params, losses)``."""
+    from diffus_tpu.impedance.mlp import train_on_table
+
     params = tp_shard_params(mesh, params, axis)
     xs = jax.device_put(
         jnp.asarray(x, jnp.float32).reshape(-1, 1), NamedSharding(mesh, P())
@@ -118,4 +98,6 @@ def tp_train_on_table(
     ys = jax.device_put(
         jnp.asarray(y, jnp.float32).reshape(-1, 1), NamedSharding(mesh, P())
     )
-    return _tp_fit(params, xs, ys, tuple(hidden), int(epochs), float(lr))
+    return train_on_table(
+        params, xs, ys, hidden=tuple(hidden), epochs=int(epochs), lr=float(lr)
+    )

@@ -278,9 +278,8 @@ class RendererService:
         self.recover_pose(
             np.asarray(target), center, count=count, radius=0.5,
             rot_scale=0.01, phases=phases,
+            _count=False,  # warmup is not a client request
         )
-        with self._lock:
-            self.stats["recoveries"] -= 1  # warmup is not a request
         return time.perf_counter() - t0
 
     def _dispatch(self, volume, sources) -> jax.Array:
@@ -470,15 +469,19 @@ class RendererService:
 
     def _recovery_config(self, phases=None):
         """The pose-recovery forward model: this service's render config
-        with ``interp='trilinear'`` (gradients need interpolation), the
-        service geometry, and an optional phase-schedule override."""
+        with ``interp='trilinear'`` (gradients need interpolation) and
+        ``artifacts=False`` (speckle needs a PRNG key and is unlearnable
+        noise for an MSE descent anyway), the service geometry, and an
+        optional phase-schedule override."""
         import dataclasses
 
         from diffus_tpu.train.pose_recovery import AnnealedPoseConfig
 
         render_cfg = self.config
-        if render_cfg.interp != "trilinear":
-            render_cfg = dataclasses.replace(render_cfg, interp="trilinear")
+        if render_cfg.interp != "trilinear" or render_cfg.artifacts:
+            render_cfg = dataclasses.replace(
+                render_cfg, interp="trilinear", artifacts=False
+            )
         cfg = AnnealedPoseConfig(geometry=self.geometry, render=render_cfg)
         if phases is not None:
             cfg = dataclasses.replace(
@@ -499,6 +502,7 @@ class RendererService:
         rot_scale: float = 0.05,
         phases=None,
         seed: int = 0,
+        _count: bool = True,
     ) -> dict:
         """Recover the 6-DoF transducer pose that produced
         ``target_frame`` against the resident volume (multistart annealed
@@ -506,8 +510,10 @@ class RendererService:
         .recover_pose_multistart_annealed`).
 
         The forward model is this service's render config with
-        ``interp='trilinear'`` (gradients need interpolation) over the
-        CANONICAL fan oriented by the recovered rotation — a frame from
+        ``interp='trilinear'`` (gradients need interpolation) and
+        ``artifacts=False`` (speckle needs a key and is unlearnable
+        noise for the MSE descent) over the CANONICAL fan oriented by
+        the recovered rotation — a frame from
         this service's ``render`` (fixed fan) corresponds to
         ``rotvec=0`` when the service uses the default median direction.
         In ``crop=True`` mode positions are translated both ways, so
@@ -551,7 +557,8 @@ class RendererService:
         cfg = self._recovery_config(phases)
         with self._lock:
             volume = self.volume  # raw staged volume (not a tile table)
-            self.stats["recoveries"] += 1
+            if _count:  # warmup_recovery passes False: not a request
+                self.stats["recoveries"] += 1
         init = sample_init_poses(
             jax.random.PRNGKey(seed), init_position, radius, rot_scale, count
         )

@@ -410,3 +410,18 @@ def test_tp_rejects_nondivisible_width():
     params = init_params(jax.random.PRNGKey(0), (30, 30))
     with pytest.raises(ValueError, match="does not divide"):
         tp_shard_params(make_mesh(2, 4), params)
+
+
+def test_tp_accepts_replicated_nondivisible_dims():
+    """Only dims the layout actually shards must divide the axis: hidden
+    (8, 12, 8) on an 8-way axis is valid (the 12-wide row-layer bias is
+    replicated) — the old max(shape) guard spuriously rejected it."""
+    from diffus_tpu.impedance.mlp import init_params
+    from diffus_tpu.parallel import make_mesh
+    from diffus_tpu.parallel.tp import tp_shard_params
+
+    params = init_params(jax.random.PRNGKey(0), (8, 12, 8))
+    sharded = tp_shard_params(make_mesh(1, 8), params)
+    assert not (
+        sharded["params"]["Dense_0"]["kernel"].sharding.is_fully_replicated
+    )

@@ -505,3 +505,22 @@ def test_service_warmup_recovery(svc):
     )
     assert _time.perf_counter() - t0 < spent
     assert len(res["final_losses"]) == 2
+
+
+def test_service_recover_pose_strips_artifacts():
+    """An artifacts-configured service cannot thread a PRNG key through
+    the recovery descent — the forward model strips artifacts (speckle
+    is unlearnable noise for MSE) instead of erroring."""
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(
+        vol, geom, RenderConfig(attenuation_coeff=1e-4, artifacts=True),
+        batch_tiers=(1,),
+    )
+    cfg = s._recovery_config()
+    assert cfg.render.artifacts is False and cfg.render.interp == "trilinear"
+    res = s.recover_pose(
+        np.zeros((4, 8), np.float32), np.array([8.0, 1.0, 8.0], np.float32),
+        count=2, radius=0.5, rot_scale=0.0, phases=((0.0, 0.1, 0.0, 4),),
+    )
+    assert np.all(np.isfinite(res["final_losses"]))
