@@ -162,6 +162,11 @@ class RendererService:
             "recoveries": 0,
         }
         self._lock = threading.Lock()
+        from collections import deque
+
+        self._latencies = {
+            "pulled": deque(maxlen=512), "dispatched": deque(maxlen=512),
+        }
         self._coalesce = bool(coalesce)
         self._adaptive = bool(adaptive_window)
         self._wmin, self._wmax = (float(b) for b in window_bounds_s)
@@ -387,6 +392,7 @@ class RendererService:
           leader pulls the shared batch once; ``np.asarray`` works
           uniformly on both).
         """
+        t0 = time.perf_counter()
         sources = jnp.asarray(sources, jnp.float32)
         if sources.ndim == 1:
             sources = sources[None]
@@ -407,7 +413,9 @@ class RendererService:
             # directly against a snapshot of the staged volume
             with self._lock:
                 volume = self._staged
-            return self._dispatch(volume, sources)
+            out = self._dispatch(volume, sources)
+            self._record_latency(out, t0)
+            return out
         req = _Pending(sources)
         with self._lock:
             self._queue.append(req)
@@ -434,14 +442,45 @@ class RendererService:
             req.event.wait()
         if req.error is not None:
             raise req.error
+        self._record_latency(req.result, t0)
         return req.result
 
+    def _record_latency(self, result, t0: float) -> None:
+        """Per-request wall-latency tracking with honest semantics
+        through an ASYNC dispatch queue: a host ``np.ndarray`` result
+        means the request COMPLETED (a coalesced leader pulled the
+        batch) — recorded as ``pulled``; a device ``jax.Array`` return
+        is only a dispatch handoff (the device may still be computing) —
+        recorded as ``dispatched``.  Bounded ring buffers; percentiles
+        surface in :meth:`snapshot_stats`."""
+        ms = (time.perf_counter() - t0) * 1e3
+        kind = "pulled" if isinstance(result, np.ndarray) else "dispatched"
+        with self._lock:
+            self._latencies[kind].append(ms)
+
+    @staticmethod
+    def _percentiles(samples) -> dict:
+        arr = np.sort(np.asarray(samples, np.float64))
+        return {
+            "n": int(arr.size),
+            "p50_ms": round(float(arr[int(0.50 * (arr.size - 1))]), 2),
+            "p95_ms": round(float(arr[int(0.95 * (arr.size - 1))]), 2),
+            "max_ms": round(float(arr[-1]), 2),
+        }
+
     def snapshot_stats(self) -> dict:
-        """Consistent copy of the request counters (plus the live
-        coalescing window in ms)."""
+        """Consistent copy of the request counters, the live coalescing
+        window (ms), and request-latency percentiles over the last 512
+        requests per kind (``latency_pulled_ms``: requests that
+        completed with a host pull; ``latency_dispatched_ms``: async
+        device handoffs — queue+dispatch time only, the device may still
+        be computing at return)."""
         with self._lock:
             out = dict(self.stats)
             out["window_ms"] = round(self._window * 1e3, 3)
+            for kind, buf in self._latencies.items():
+                if buf:
+                    out[f"latency_{kind}_ms"] = self._percentiles(buf)
             return out
 
     def update_volume(self, volume) -> None:

@@ -524,3 +524,50 @@ def test_service_recover_pose_strips_artifacts():
         count=2, radius=0.5, rot_scale=0.0, phases=((0.0, 0.1, 0.0, 4),),
     )
     assert np.all(np.isfinite(res["final_losses"]))
+
+
+def test_service_latency_percentiles():
+    """snapshot_stats surfaces per-kind request-latency percentiles with
+    honest async semantics: device-array returns are 'dispatched'
+    (handoff only), host-pulled coalesced results are 'pulled'."""
+    import threading
+
+    from diffus_tpu.serve import _Pending
+
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(
+        vol, geom, RenderConfig(attenuation_coeff=1e-4), batch_tiers=(1, 4),
+    )
+    s.warmup()
+    for i in range(3):
+        s.render(np.array([8.0, 1.0 + i, 8.0], np.float32))
+    st = s.snapshot_stats()
+    assert st["latency_dispatched_ms"]["n"] == 3
+    assert st["latency_dispatched_ms"]["p50_ms"] <= st["latency_dispatched_ms"]["max_ms"]
+    assert "latency_pulled_ms" not in st  # nothing coalesced yet
+    # coalesced round: waiters get host slices -> 'pulled' latencies.
+    # (waiter latency is recorded by render(); drive two waiter threads
+    # plus a manual leader so the drain coalesces deterministically)
+    waiters = []
+    with s._lock:
+        s._dispatching = True  # hold the queue: arrivals become waiters
+    for i in range(2):
+        t = threading.Thread(
+            target=s.render,
+            args=(np.array([[8.0, 2.0 + i, 8.0]], np.float32),),
+        )
+        t.start()
+        waiters.append(t)
+    deadline = 50
+    while deadline and len(s._queue) < 2:
+        import time as _t
+        _t.sleep(0.02)
+        deadline -= 1
+    assert len(s._queue) == 2
+    s._drain()  # leader: one batch, one host pull
+    for t in waiters:
+        t.join()
+    st = s.snapshot_stats()
+    assert st["latency_pulled_ms"]["n"] == 2
+    assert st["latency_pulled_ms"]["p95_ms"] >= st["latency_pulled_ms"]["p50_ms"]
