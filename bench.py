@@ -305,6 +305,19 @@ def main():
     # r3: a single stale sync sample once reported 0.0)
     pose_ms = robust_readback_time_ms(pose_grad, [(s,) for s in srcs], n=144)
 
+    # --- record gating (VERDICT r4 #7): a regression must not ship a
+    # green-looking JSON.  Hard gates: oracle parity (1e-5 — r4 measured
+    # 1.6e-6, so 1e-5 is 6x headroom, not a lucky margin) and both
+    # headline throughputs >= the BASELINE target.  The trilinear gate is
+    # on the MEDIAN of 3 independent loops (the artifact of record);
+    # the per-loop spread is reported alongside.
+    gates = {
+        "parity": parity_err < 1e-5,
+        "nearest_fps": fps >= TARGET_FPS,
+        "trilinear_fps": trilinear_fps >= TARGET_FPS,
+    }
+    ok = all(gates.values())
+
     print(
         json.dumps(
             {
@@ -327,9 +340,18 @@ def main():
                 "pallas": use_pallas,
                 "trilinear_pallas_prop": tri_pallas,
                 "device": str(jax.devices()[0]),
+                "jax_version": jax.__version__,
+                "pass": ok,
+                "gates": gates,
             }
         )
     )
+    if not ok:
+        import sys
+
+        failed = [k for k, v in gates.items() if not v]
+        print(f"# BENCH GATE FAILED: {failed}", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

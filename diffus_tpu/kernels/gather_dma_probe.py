@@ -90,7 +90,7 @@ def dma_gather_probe(offset: jax.Array, table: jax.Array, n_rows: int = 1 << 20,
       ``(1, 128)`` accumulated rows.
     """
     m = table.shape[0]
-    interpret = jax.default_backend() == "cpu"
+    interpret = jax.default_backend() != "tpu"  # Mosaic is TPU-only
     return pl.pallas_call(
         partial(_probe_kernel, n_rows=n_rows, n_buf=n_buf, m=m),
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),

@@ -94,7 +94,7 @@ def _echo_pallas_raw(r_nb: jax.Array, mode: str, att: float) -> jax.Array:
     grid = (b // block_b,)
     # CPU has no Mosaic backend: fall back to the Pallas interpreter so
     # the kernel stays testable on the virtual CPU mesh
-    interpret = jax.default_backend() == "cpu"
+    interpret = jax.default_backend() != "tpu"  # Mosaic is TPU-only
     return pl.pallas_call(
         partial(_kernel, n_interfaces=n, mode=mode, att=att),
         out_shape=jax.ShapeDtypeStruct((n + 1, b), r_nb.dtype),

@@ -126,7 +126,9 @@ def tile_select(rows0, rows1, l00, l10, fx, fy, fz, dz):
         [fx, fy, fz, dz.astype(fx.dtype)], axis=1
     )
     grid = (rows0.shape[0] // _BLOCK,)
-    interpret = jax.default_backend() == "cpu"  # no Mosaic on CPU
+    # Mosaic compiles only for TPU; interpret everywhere else (a gpu
+    # backend would otherwise fail at trace time — ADVICE r4)
+    interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((rows0.shape[0], 1), rows0.dtype),

@@ -718,6 +718,30 @@ def sample_trilinear_tile3d_f32(volume, points: jax.Array):
     )
 
 
+def tile_table_bytes(shape, sy: int = _TILE_SY, sz: int = _TILE_SZ,
+                     itemsize: int = 4) -> int:
+    """Exact byte size of the (y, z) tile table :func:`_tile2d_table`
+    builds for a ``shape`` volume — for placement-capacity gating
+    (serve/renderer).  A flat 1.36x factor misclassifies the K=2 table,
+    whose (6, 14) strides cost ~1.6x the volume (ADVICE r4)."""
+    d, h, w = shape
+    na = (h - 1) // sy + 1
+    nb = (w - 1) // sz + 1
+    return d * na * nb * _TILE_TY * _TILE_TZ * itemsize
+
+
+def tile3d_table_bytes(shape, itemsize: int = 2) -> int:
+    """Exact byte size of the 3D tile table :func:`_tile3d_table` builds
+    (``itemsize=2`` for the default bf16 table, 4 for f32)."""
+    tx, ty, tz = _T3_SHAPE
+    sx, sy, sz = _T3_STRIDE
+    d, h, w = shape
+    nd = (d - 1) // sx + 1
+    na = (h - 1) // sy + 1
+    nb = (w - 1) // sz + 1
+    return nd * na * nb * tx * ty * tz * itemsize
+
+
 SAMPLERS = {
     "nearest": sample_nearest,
     "nearest_rows": sample_nearest_rows,

@@ -496,17 +496,23 @@ def render_sweep(
             # tables place on-chip only up to ~128 MB; past that, the
             # per-dispatch build is pure overhead (15 vs 3.1 ms/frame at
             # 512^3).  Warn at trace time — the fixes are host-side.
-            # bytes of the table that will actually be BUILT: the bf16
-            # 3D tile stores bf16 corners (2 B/elem) whatever the input
-            # dtype — sizing it by the f32 volume falsely warned on the
-            # headline bf16 sweep (caught in the r4 bench output)
-            elem = (
-                2 if resolved == "trilinear_tile3d_bf16"
-                else volume.dtype.itemsize
+            # exact bytes of the table that will actually be BUILT: the
+            # bf16 3D tile stores bf16 corners (2 B/elem) whatever the
+            # input dtype — sizing it by the f32 volume falsely warned on
+            # the headline bf16 sweep (caught in the r4 bench output) —
+            # and the K=2 (6, 14) strides cost ~1.6x, not the per-sample
+            # table's 1.30x (ADVICE r4)
+            from diffus_tpu.ops.sampling import (
+                tile_table_bytes, tile3d_table_bytes,
             )
-            table_bytes = int(volume.size) * elem * (
-                2.04 if resolved == "trilinear_tile3d_bf16" else 1.36
-            )
+
+            if resolved == "trilinear_tile3d_bf16":
+                table_bytes = tile3d_table_bytes(volume.shape)
+            else:
+                strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
+                table_bytes = tile_table_bytes(
+                    volume.shape, *strides, itemsize=volume.dtype.itemsize
+                )
             if table_bytes > 125_000_000:
                 import warnings
 

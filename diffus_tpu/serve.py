@@ -215,17 +215,24 @@ class RendererService:
         if self.config.dtype == "bfloat16" and resolved in tile2d:
             staged = staged.astype(jnp.bfloat16)  # match render_frame's cast
         if resolved in tile2d:
-            table_bytes = int(staged.size) * staged.dtype.itemsize * 1.36
+            from diffus_tpu.ops.sampling import tile_table_bytes
+
+            # exact per-stride table size: the K=2 (6, 14) table is ~1.6x
+            # the volume, not the per-sample table's 1.30x (ADVICE r4)
+            strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
+            table_bytes = tile_table_bytes(
+                staged.shape, *strides, itemsize=staged.dtype.itemsize
+            )
             if table_bytes > self._PLACEMENT_BYTES:
                 from diffus_tpu.ops.sampling import prepare_tile_volume
 
-                strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
                 staged = jax.jit(
                     lambda v: prepare_tile_volume(v, *strides)
                 )(staged)
         elif resolved == "trilinear_tile3d_bf16":
-            table_bytes = int(staged.size) * 2 * 2.04
-            if table_bytes > self._PLACEMENT_BYTES:
+            from diffus_tpu.ops.sampling import tile3d_table_bytes
+
+            if tile3d_table_bytes(staged.shape) > self._PLACEMENT_BYTES:
                 from diffus_tpu.ops.sampling import prepare_tile3d_volume
 
                 staged = jax.jit(prepare_tile3d_volume)(staged)
@@ -378,6 +385,15 @@ class RendererService:
                     r.error = e
             finally:
                 for r in batch:
+                    if r.result is None and r.error is None:
+                        # a BaseException (e.g. KeyboardInterrupt in the
+                        # leader thread) skips the except-arm above but
+                        # still runs this finally: without an error the
+                        # waiter's `if req.error` check passes and it
+                        # returns None as its frame batch (ADVICE r4)
+                        r.error = RuntimeError(
+                            "render dispatch aborted before delivering a result"
+                        )
                     r.event.set()
 
     def render(self, sources) -> jax.Array:
