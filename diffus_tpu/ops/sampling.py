@@ -387,24 +387,29 @@ def sample_trilinear_tile(volume, points: jax.Array):
     lanes = jnp.arange(_TILE_TY * _TILE_TZ, dtype=jnp.int32)
     l00 = ly * _TILE_TZ + lz
     l10 = (ly + dy) * _TILE_TZ + lz
-    wz0 = (l00[..., None] == lanes) * (1 - fz)[..., None] + (
-        (l00 + dz)[..., None] == lanes
-    ) * fz[..., None]
-    wz1 = (l10[..., None] == lanes) * (1 - fz)[..., None] + (
-        (l10 + dz)[..., None] == lanes
-    ) * fz[..., None]
 
-    # merge the y blend into the lane select: one select per take, 5
-    # passes over the (n, 128) intermediates instead of 6 (measured ~9%
-    # on v5e, scripts/probe_sel_r3.py).  The y association moves inside
-    # the lane sum — ULP-level difference from the canonical z->y->x
-    # blend order.
-    w_yz = (1 - fy)[..., None] * wz0 + fy[..., None] * wz1
-    vals = []
-    for xv in (i0[..., 0], i1[..., 0]):
-        rows = jnp.take(table, (xv * na + a) * nb + b, axis=0)
-        vals.append(jnp.sum(rows * w_yz, axis=-1))
-    values = vals[0] * (1 - fx) + vals[1] * fx
+    # merge the y AND z blends into ONE lane-select built from 4 direct
+    # one-hot compares (no wz0/wz1 intermediates), and blend the two
+    # gathered row arrays BEFORE a single weighted reduce so the weight
+    # build is consumed once.  Measured +1.7% end-to-end over the r3
+    # two-reduce form at the headline config, bit-identical values
+    # (scripts/probe_selvar_r5.py; r3's probe_sel_r3 bought the first
+    # 9% by folding the y blend).  The y/z association moves inside the
+    # lane sum — ULP-level difference from the canonical z->y->x order.
+    w00 = ((1 - fy) * (1 - fz))[..., None]
+    w01 = ((1 - fy) * fz)[..., None]
+    w10 = (fy * (1 - fz))[..., None]
+    w11 = (fy * fz)[..., None]
+    w_yz = (
+        (l00[..., None] == lanes) * w00
+        + ((l00 + dz)[..., None] == lanes) * w01
+        + (l10[..., None] == lanes) * w10
+        + ((l10 + dz)[..., None] == lanes) * w11
+    )
+    rows0 = jnp.take(table, (i0[..., 0] * na + a) * nb + b, axis=0)
+    rows1 = jnp.take(table, (i1[..., 0] * na + a) * nb + b, axis=0)
+    mix = rows0 * (1 - fx)[..., None] + rows1 * fx[..., None]
+    values = jnp.sum(mix * w_yz, axis=-1)
 
     dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
@@ -535,6 +540,121 @@ def sample_trilinear_tile_k2(volume, points: jax.Array):
 
     vals = [jnp.where(bad, jnp.nan, v) for v, bad in zip(vals, bads)]
     values = jnp.stack(vals, axis=-1).reshape(points.shape[:-1])
+
+    dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
+    idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
+    return idx, values
+
+
+def sample_trilinear_tile_k2i(volume, points: jax.Array):
+    """K=2 depth-amortized tile trilinear, SINGLE-CONSUMER formulation
+    (VERDICT r4 next #1): 3 row gathers per consecutive-sample pair
+    (1.5 takes/sample) where each gathered row feeds exactly ONE
+    weighted-sum reduction.
+
+    Why this exists: the r4 K=2 variants (``sample_trilinear_tile_k2``)
+    lost 1.6-2x end-to-end despite 25% fewer gather transactions because
+    each gathered x-plane fed TWO consumers (the even and the odd
+    sample's reductions), which forces XLA to materialize the
+    ``(..., S/2, 128)`` row arrays that its gather-consumer fusion never
+    writes on the per-sample tile path (docs/benchmarking.md "Round 4").
+    Here the pair's combined per-sample weights (y/z lane select with
+    the x-plane weight ``cx`` folded in) are built at per-SAMPLE shape
+    ``(..., S, 128)`` and the gathered pair rows are broadcast to sample
+    rank (``repeat`` = broadcast+bitcast reshape, fusible), so each
+    gather has exactly one consumer chain:
+
+        values = sum_k  reduce_l( repeat(rows_k) * W_k )     (k = 3 planes)
+
+    Same table (strides (6, 14), ~1.6x volume), same containment
+    contract and NaN guard as :func:`sample_trilinear_tile_k2`; values
+    match canonical trilinear to blend-order ULPs.
+
+    MEASURED NEGATIVE (v5e, probe_k2i_r5, docs/benchmarking.md "Round
+    5"): the hypothesis held — every gather stays fused (0 entry-block
+    gathers in compiled HLO) — and it STILL loses 2.05x end-to-end
+    (2.011 vs 0.979 ms/frame at the headline config; temp bytes +23%).
+    The three per-plane fused chains each carry their own (..., S, 128)
+    weight intermediates, costing more than the saved take.  Kept
+    explicit-only as the final K=2 refutation; never auto-selected.
+    """
+    tv = prepare_tile_volume(volume, _K2_SY, _K2_SZ)
+    if (tv.sy, tv.sz) != (_K2_SY, _K2_SZ):
+        raise ValueError(
+            f"K=2 sampler needs a table with strides ({_K2_SY}, {_K2_SZ}) "
+            f"(overlap 2); got a prepared TileVolume with ({tv.sy}, {tv.sz}) "
+            "— build it with prepare_tile_volume(volume, 6, 14)"
+        )
+    table, na, nb = tv.table, tv.na, tv.nb
+    s = points.shape[-2]
+    if s % 2:
+        raise ValueError(
+            "sample_trilinear_tile_k2i needs an even sample count "
+            f"(got {s}); pad the depth axis or use sample_trilinear_tile"
+        )
+
+    dims = jnp.asarray(tv.shape, dtype=points.dtype)
+    p = jnp.clip(points, 0.0, dims - 1.0)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    i0 = p0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(tv.shape, jnp.int32) - 1)
+
+    def pair_min(arr):                       # (..., S) -> (..., S/2)
+        pairs = arr.reshape(arr.shape[:-1] + (s // 2, 2))
+        return jnp.min(pairs, axis=-1)
+
+    def rep(arr):                            # (..., S/2) -> (..., S)
+        return jnp.repeat(arr, 2, axis=-1)
+
+    xmin = pair_min(i0[..., 0])
+    a = pair_min(i0[..., 1]) // _K2_SY       # pair tile coordinates
+    b = pair_min(i0[..., 2]) // _K2_SZ
+    row_base = a * nb + b
+
+    # the transaction saving: 3 x-plane takes serve all 8 corners of
+    # BOTH samples of the pair
+    rows = [
+        jnp.take(
+            table,
+            jnp.minimum(xmin + k, tv.shape[0] - 1) * (na * nb) + row_base,
+            axis=0,
+        )
+        for k in range(3)
+    ]                                        # each (..., S/2, 128)
+
+    # per-SAMPLE lane offsets relative to the pair's tile
+    a_s, b_s, xmin_s = rep(a), rep(b), rep(xmin)
+    ly = i0[..., 1] - a_s * _K2_SY
+    lz = i0[..., 2] - b_s * _K2_SZ
+    dy = i1[..., 1] - i0[..., 1]
+    dz = i1[..., 2] - i0[..., 2]
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    l00 = ly * _TILE_TZ + lz
+    l10 = (ly + dy) * _TILE_TZ + lz
+
+    lanes = jnp.arange(_TILE_TY * _TILE_TZ, dtype=jnp.int32)
+    wz0 = (l00[..., None] == lanes) * (1 - fz)[..., None] + (
+        (l00 + dz)[..., None] == lanes
+    ) * fz[..., None]
+    wz1 = (l10[..., None] == lanes) * (1 - fz)[..., None] + (
+        (l10 + dz)[..., None] == lanes
+    ) * fz[..., None]
+    w_yz = (1 - fy)[..., None] * wz0 + fy[..., None] * wz1   # (..., S, 128)
+
+    px0 = i0[..., 0] - xmin_s                # 0 or 1
+    px1 = i1[..., 0] - xmin_s                # 0..2
+    values = jnp.zeros(points.shape[:-1], jnp.result_type(table.dtype, w_yz.dtype))
+    for k in range(3):
+        cx = (px0 == k) * (1 - fx) + (px1 == k) * fx          # (..., S)
+        # repeat = broadcast + bitcast reshape: the gathered pair rows
+        # reach sample rank without a second consumer of the gather
+        rows_s = jnp.repeat(rows[k], 2, axis=-2)              # (..., S, 128)
+        values = values + jnp.sum(rows_s * (w_yz * cx[..., None]), axis=-1)
+
+    # containment guard (same contract as sample_trilinear_tile_k2)
+    bad = (ly + dy > _TILE_TY - 1) | (lz + dz > _TILE_TZ - 1) | (px0 > 1) | (px1 > 2)
+    values = jnp.where(bad, jnp.nan, values)
 
     dims_i = jnp.asarray(tv.shape, dtype=jnp.int32)
     idx = jnp.clip(jnp.round(points).astype(jnp.int32), 0, dims_i - 1)
@@ -750,6 +870,7 @@ SAMPLERS = {
     "trilinear_rows2": sample_trilinear_rows2,
     "trilinear_tile": sample_trilinear_tile,
     "trilinear_tile_k2": sample_trilinear_tile_k2,
+    "trilinear_tile_k2i": sample_trilinear_tile_k2i,
     "trilinear_tile_fused": sample_trilinear_tile_fused,
     "trilinear_tile3d_bf16": sample_trilinear_tile3d_bf16,
     "trilinear_tile3d_f32": sample_trilinear_tile3d_f32,

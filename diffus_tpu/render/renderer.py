@@ -83,7 +83,7 @@ def _route_tile_family(resolved: str, volume) -> str:
     docs/benchmarking.md r4) — the 2.04x f32 table costs more bandwidth
     than the second take saves.  The sampler stays reachable explicitly
     (prepared f32 table or direct :func:`trace_rays` interp string)."""
-    if resolved not in ("trilinear_tile", "trilinear_tile_k2"):
+    if resolved not in ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_k2i"):
         return resolved
     from diffus_tpu.ops.sampling import TileVolume, Tile3dVolume
 
@@ -96,7 +96,9 @@ def _route_tile_family(resolved: str, volume) -> str:
     if isinstance(volume, TileVolume):
         # a caller may hand us a table prepared with the per-sample
         # strides (7, 15) (the r3 workflow) — honor it rather than fail
-        if resolved == "trilinear_tile_k2" and (volume.sy, volume.sz) != (6, 14):
+        if resolved in ("trilinear_tile_k2", "trilinear_tile_k2i") and (
+            volume.sy, volume.sz
+        ) != (6, 14):
             return "trilinear_tile"
     return resolved
 
@@ -472,8 +474,8 @@ def render_sweep(
     # dispatch.  No-op for non-tile samplers and already-prepared input.
     resolved = _resolve_sampler(_effective_interp(config), num_samples, step)
     if resolved in (
-        "trilinear_tile", "trilinear_tile_k2", "trilinear_tile_fused",
-        "trilinear_tile3d_bf16",
+        "trilinear_tile", "trilinear_tile_k2", "trilinear_tile_k2i",
+        "trilinear_tile_fused", "trilinear_tile3d_bf16",
     ):
         from diffus_tpu.ops.sampling import (
             TileVolume,
@@ -509,7 +511,11 @@ def render_sweep(
             if resolved == "trilinear_tile3d_bf16":
                 table_bytes = tile3d_table_bytes(volume.shape)
             else:
-                strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
+                strides = (
+                    (6, 14)
+                    if resolved in ("trilinear_tile_k2", "trilinear_tile_k2i")
+                    else (7, 15)
+                )
                 table_bytes = tile_table_bytes(
                     volume.shape, *strides, itemsize=volume.dtype.itemsize
                 )
@@ -532,7 +538,7 @@ def render_sweep(
         elif resolved == "trilinear_tile3d_f32":
             if not isinstance(volume, Tile3dVolume):
                 volume = prepare_tile3d_volume(volume, dtype=volume.dtype)
-        elif resolved == "trilinear_tile_k2":
+        elif resolved in ("trilinear_tile_k2", "trilinear_tile_k2i"):
             volume = prepare_tile_volume(volume, 6, 14)
         else:
             volume = prepare_tile_volume(volume)

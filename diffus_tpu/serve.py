@@ -211,7 +211,8 @@ class RendererService:
             float(self.geometry.step),
         )
         staged = volume
-        tile2d = ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_fused")
+        tile2d = ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_k2i",
+                  "trilinear_tile_fused")
         if self.config.dtype == "bfloat16" and resolved in tile2d:
             staged = staged.astype(jnp.bfloat16)  # match render_frame's cast
         if resolved in tile2d:
@@ -219,7 +220,11 @@ class RendererService:
 
             # exact per-stride table size: the K=2 (6, 14) table is ~1.6x
             # the volume, not the per-sample table's 1.30x (ADVICE r4)
-            strides = (6, 14) if resolved == "trilinear_tile_k2" else (7, 15)
+            strides = (
+                (6, 14)
+                if resolved in ("trilinear_tile_k2", "trilinear_tile_k2i")
+                else (7, 15)
+            )
             table_bytes = tile_table_bytes(
                 staged.shape, *strides, itemsize=staged.dtype.itemsize
             )

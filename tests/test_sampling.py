@@ -170,10 +170,15 @@ def test_prepared_tile_volume_matches_raw(rng):
         idx_b, b = fn(tv, pts)
         np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
         # ULP-level tolerance: op fusion reassociates the lane-select sums
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        # (atol: operand-scale ULPs — near-zero values on this normal
+        # volume make pure-rtol brittle under eager-vs-jit FMA contraction
+        # of the r5 single-reduce form)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
         # prepared volumes traverse jit boundaries as pytrees
         _, c = jax.jit(fn)(tv, pts)
-        np.testing.assert_allclose(np.asarray(b), np.asarray(c), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_render_sweep_accepts_prepared_volume(rng):
@@ -338,6 +343,49 @@ def test_tile_k2_prepared_and_stride_mismatch(rng):
     tv1 = prepare_tile_volume(vol)
     with pytest.raises(ValueError, match="strides"):
         sample_trilinear_tile_k2(tv1, pts)
+
+
+def test_tile_k2i_single_consumer_matches_trilinear(rng):
+    """Round-5 single-consumer K=2 formulation: same 3-takes-per-pair
+    table access as ``tile_k2`` but each gathered row feeds exactly one
+    weighted reduce.  Kept as a measured NEGATIVE (2.05x slower end-to-end
+    on v5e, probe_k2i_r5) — this pins its exactness and contracts so the
+    archived evidence stays reproducible."""
+    import pytest
+
+    from diffus_tpu.ops.sampling import (
+        prepare_tile_volume, sample_trilinear_tile, sample_trilinear_tile_k2i,
+    )
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.5, (21, 26, 24)).astype(np.float32))
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        dirs = r.normal(size=(5, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        src = jnp.asarray((np.array([10.0, 13.0, 12.0])
+                           + r.uniform(-9, 9, 3)).astype(np.float32))
+        pts = ray_points(src, jnp.asarray(dirs), 32)
+        _, want = sample_trilinear(vol, pts)
+        _, got = jax.jit(sample_trilinear_tile_k2i)(vol, pts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6
+        )
+    # gradients flow like the canonical tile sampler's
+    pts = ray_points(jnp.array([10.0, 2.0, 12.0]),
+                     jnp.asarray([[0.0, 1.0, 0.0], [0.6, 0.8, 0.0]]), 16)
+    g1 = jax.grad(lambda p: jnp.sum(sample_trilinear_tile_k2i(vol, p)[1] ** 2))(pts)
+    g2 = jax.grad(lambda p: jnp.sum(sample_trilinear_tile(vol, p)[1] ** 2))(pts)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+    # contracts shared with tile_k2: even sample count, (6,14) table
+    with pytest.raises(ValueError, match="even"):
+        sample_trilinear_tile_k2i(vol, pts[..., :7, :])
+    with pytest.raises(ValueError, match="strides"):
+        sample_trilinear_tile_k2i(prepare_tile_volume(vol), pts)
+    _, via_prepared = sample_trilinear_tile_k2i(prepare_tile_volume(vol, 6, 14), pts)
+    _, direct = sample_trilinear_tile_k2i(vol, pts)
+    np.testing.assert_allclose(np.asarray(via_prepared), np.asarray(direct),
+                               rtol=1e-7)
 
 
 # --- exact f32 one-take 3D tile + volume-aware routing (round 4) ------------
