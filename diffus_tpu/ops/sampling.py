@@ -762,6 +762,52 @@ def prepare_tile3d_volume(volume, dtype=jnp.bfloat16) -> Tile3dVolume:
     return Tile3dVolume(table, nd, na, nb, tuple(volume.shape))
 
 
+def prepare_tile3d_volume_host(volume, dtype=None) -> Tile3dVolume:
+    """Build the overlapped 3D tile table ON THE HOST (numpy) — the
+    above-capacity staging path for big clinical scans (512^3-class).
+
+    The in-XLA build (:func:`_tile3d_table`) cannot even run at 512^3
+    f32: XLA lays the 6D transpose intermediate out with (8, 128) tiling
+    padding that balloons to ~19 GB and OOMs (docs/benchmarking.md r3).
+    On the host a zero-copy ``sliding_window_view`` + strided slice
+    yields the same table with ONE ~2.03x copy, then a single
+    ``device_put``.  Above the ~128 MB placement capacity the table is
+    HBM-resident either way (flat ~10.4 ns/take, probe_arg_r4), so
+    nothing is lost by pre-building — and the one-take f32 mode halves
+    takes/sample vs the (y, z) tile's 2 at exactly the sizes where takes
+    dominate (measured at 512^3, 256x512 rays: 1.82 vs 3.02 ms/frame
+    exact, vs 1.79 bf16 / 1.71 nearest — scripts/probe_host3d_r5.py).
+    Bit-identical to the in-jit table (pinned by test).
+
+    ``dtype=None`` preserves the volume's dtype (f32 in => EXACT f32
+    table); pass ``jnp.bfloat16`` for the half-size lossy table.
+    """
+    if isinstance(volume, Tile3dVolume):
+        return volume
+    vol = np.asarray(volume)
+    if dtype is not None:
+        vol = vol.astype(dtype)
+    tx, ty, tz = _T3_SHAPE
+    sx, sy, sz = _T3_STRIDE
+    d, h, w = vol.shape
+    nd = (d - 1) // sx + 1
+    na = (h - 1) // sy + 1
+    nb = (w - 1) // sz + 1
+    vp = np.pad(
+        vol,
+        (
+            (0, sx * (nd - 1) + tx - d),
+            (0, sy * (na - 1) + ty - h),
+            (0, sz * (nb - 1) + tz - w),
+        ),
+    )
+    win = np.lib.stride_tricks.sliding_window_view(vp, (tx, ty, tz))
+    table = np.ascontiguousarray(win[::sx, ::sy, ::sz]).reshape(
+        nd * na * nb, tx * ty * tz
+    )
+    return Tile3dVolume(jnp.asarray(table), nd, na, nb, (d, h, w))
+
+
 def _sample_tile3d(tv: Tile3dVolume, points: jax.Array):
     """Shared one-gather 3D-tile sampling body (weights f32; corner
     values in the table's dtype)."""

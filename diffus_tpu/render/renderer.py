@@ -83,7 +83,11 @@ def _route_tile_family(resolved: str, volume) -> str:
     docs/benchmarking.md r4) — the 2.04x f32 table costs more bandwidth
     than the second take saves.  The sampler stays reachable explicitly
     (prepared f32 table or direct :func:`trace_rays` interp string)."""
-    if resolved not in ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_k2i"):
+    # plain "trilinear" reaches here un-upgraded on non-TPU backends —
+    # a prepared table must still route to its tile sampler there (the
+    # serving/staging workflow is backend-agnostic)
+    if resolved not in ("trilinear", "trilinear_tile", "trilinear_tile_k2",
+                        "trilinear_tile_k2i"):
         return resolved
     from diffus_tpu.ops.sampling import TileVolume, Tile3dVolume
 
@@ -96,10 +100,13 @@ def _route_tile_family(resolved: str, volume) -> str:
     if isinstance(volume, TileVolume):
         # a caller may hand us a table prepared with the per-sample
         # strides (7, 15) (the r3 workflow) — honor it rather than fail
-        if resolved in ("trilinear_tile_k2", "trilinear_tile_k2i") and (
+        if resolved in ("trilinear", "trilinear_tile_k2",
+                        "trilinear_tile_k2i") and (
             volume.sy, volume.sz
         ) != (6, 14):
             return "trilinear_tile"
+        if resolved == "trilinear":
+            return "trilinear_tile_k2"  # a (6, 14) table implies K=2 family
     return resolved
 
 
@@ -528,8 +535,10 @@ def render_sweep(
                     "beyond the ~128 MB on-chip placement capacity, where the "
                     "in-jit build is pure overhead.  Crop the volume to its "
                     "content first (diffus_tpu.scene.crop_to_content; 6-9x "
-                    "measured at 512^3) or pass a host-prepared "
-                    "TileVolume/Tile3dVolume instead of the raw array.",
+                    "measured at 512^3) or stage a host-built one-take f32 "
+                    "table (diffus_tpu.ops.sampling.prepare_tile3d_volume_host"
+                    " — exact, 1.82 vs 3.02 ms/frame at 512^3, "
+                    "probe_host3d_r5) instead of the raw array.",
                     stacklevel=3,
                 )
         resolved = _route_tile_family(resolved, volume)
