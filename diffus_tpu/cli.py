@@ -387,6 +387,18 @@ def cmd_serve(args):
         crop=args.crop,
         adaptive_window=args.adaptive_window,
     )
+    for spec in args.scene:
+        name, _, path = spec.partition("=")
+        if not name or not path:
+            raise SystemExit(f"--scene wants NAME=PATH, got {spec!r}")
+        svc.add_scene(
+            name,
+            _maybe_impedance(
+                _load_volume(path), args.impedance,
+                getattr(args, "impedance_checkpoint", None),
+            ),
+            crop=args.crop,
+        )
     warm = svc.warmup()
     warm_rec = (
         svc.warmup_recovery(count=args.warmup_recovery)
@@ -398,6 +410,7 @@ def cmd_serve(args):
         "listening": f"http://{args.host}:{server.server_address[1]}",
         "warmup_s": round(warm, 2),
         "tiers": list(svc.batch_tiers),
+        "scenes": sorted(svc.scenes()),
     }
     if warm_rec is not None:
         status["warmup_recovery_s"] = round(warm_rec, 2)
@@ -532,6 +545,10 @@ def main(argv=None):
                    help="precompile the /recover pose-recovery program for "
                         "COUNT multistart descents at startup (first client "
                         "call is cache-warm)")
+    p.add_argument("--scene", action="append", default=[], metavar="NAME=PATH",
+                   help="stage an additional resident case (repeatable; the "
+                        "--volume case is scene 'default').  Requests route "
+                        "per scene: POST /render {\"scene\": NAME, ...}")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.set_defaults(fn=cmd_serve)

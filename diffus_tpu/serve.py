@@ -26,19 +26,56 @@ from diffus_tpu.geometry.fan import fan_directions_2d
 
 
 class _Pending:
-    """One queued render request awaiting a coalesced dispatch."""
+    """One queued render request awaiting a coalesced dispatch.
 
-    __slots__ = ("sources", "event", "result", "error")
+    Carries the resolved :class:`_Scene` SNAPSHOT (not the scene name):
+    the leader coalesces only requests bound to the same snapshot, so a
+    concurrent ``update_volume``/``add_scene`` can never mix two volumes
+    in one dispatched batch — requests spanning a swap simply land in
+    different batches."""
 
-    def __init__(self, sources):
+    __slots__ = ("sources", "scene", "event", "result", "error")
+
+    def __init__(self, sources, scene):
         self.sources = sources
+        self.scene = scene
         self.event = threading.Event()
         self.result = None
         self.error = None
 
 
+class _Scene:
+    """One resident case: the raw staged volume, its placement-aware
+    prepared form (see :meth:`RendererService._prepare`), and the
+    optional content-crop box (clients keep original coordinates)."""
+
+    __slots__ = ("volume", "staged", "offset", "crop_slices", "crop_margin",
+                 "orig_shape")
+
+    def __init__(self, volume, staged, offset, crop_slices, crop_margin,
+                 orig_shape):
+        self.volume = volume
+        self.staged = staged
+        self.offset = offset
+        self.crop_slices = crop_slices
+        self.crop_margin = crop_margin
+        self.orig_shape = orig_shape
+
+
 class RendererService:
-    """Long-lived B-mode renderer bound to one volume + beam geometry.
+    """Long-lived B-mode renderer serving N resident cases ("scenes")
+    under one beam geometry + render config.
+
+    The construction-time volume becomes scene ``"default"``; further
+    cases are staged with :meth:`add_scene` and routed per request
+    (``render(sources, scene="case50")``) — the reference's workload is
+    per-case (REUBEN 46/50/55/63 notebooks), so a production service
+    holds them all resident.  Each scene gets its own placement-aware
+    staging (raw volume under the ~128 MB on-chip capacity, a prepared
+    table above — :meth:`_prepare`) and optional content crop; the jit
+    cache is shared, so same-shape cases share compiled tier programs.
+    Coalescing (below) is keyed on the scene snapshot: concurrent
+    requests against different scenes never mix in one batch.
 
     Example::
 
@@ -100,30 +137,7 @@ class RendererService:
         if not self.batch_tiers:
             raise ValueError("need at least one batch tier")
         self._device = device or jax.devices()[0]
-        # optional content crop (scene.crop_to_content): big clinical
-        # scans are mostly air, and the crop brings gather tables back
-        # under the on-chip placement capacity (6-9x at 512^3, r4).
-        # Client coordinates are UNCHANGED — sources are translated by
-        # the crop offset internally, and update_volume re-applies the
-        # same box so compiled tier shapes stay valid.
-        self._crop_slices = None
-        self._offset = None
-        if crop:
-            from diffus_tpu.scene import crop_to_content
-
-            cropped, offset = crop_to_content(
-                np.asarray(volume, np.float32), margin=crop_margin
-            )
-            self._crop_slices = tuple(
-                slice(int(o), int(o) + s)
-                for o, s in zip(offset, cropped.shape)
-            )
-            self._offset = jax.device_put(
-                jnp.asarray(offset, jnp.float32), self._device
-            )
-            volume = cropped
-        # stage the scene once: volume + fan directions live on-device
-        self.volume = jax.device_put(jnp.asarray(volume, jnp.float32), self._device)
+        # stage fan directions once; scenes are staged via _make_scene
         self.directions = jax.device_put(
             fan_directions_2d(
                 median_direction, geometry.opening_angle, geometry.n_rays
@@ -161,6 +175,7 @@ class RendererService:
             "requests": 0, "frames": 0, "padded_frames": 0, "batches": 0,
             "recoveries": 0,
         }
+        self._scene_stats: dict = {}
         self._lock = threading.Lock()
         from collections import deque
 
@@ -177,12 +192,113 @@ class RendererService:
             self._window = min(max(self._window, self._wmin), self._wmax)
         self._queue: list = []          # pending _Pending requests
         self._dispatching = False       # a leader is draining the queue
-        self._staged = self._prepare(self.volume)
+        # named scene registry (the reference's workload is per-case —
+        # REUBEN 46/50/55/63; VERDICT r4 #6).  One renderer program +
+        # compiled tier set serves every resident case: the jit cache is
+        # keyed on staged shapes/dtypes, so same-shape cases share
+        # compiles and distinct shapes each pay theirs once.
+        self._scenes: dict = {}
+        self.add_scene("default", volume, crop=crop, crop_margin=crop_margin)
+
+    @property
+    def volume(self):
+        """The default scene's raw staged volume (single-scene API)."""
+        return self._get_scene("default").volume
 
     # On-chip gather-operand placement capacity (v5e, measured r4:
     # tables up to ~100-128 MB built in-jit gather at ~2.3 ns/take;
     # beyond it everything is HBM-rate).  Conservative threshold.
     _PLACEMENT_BYTES = 120_000_000
+
+    def _make_scene(self, volume, crop: bool, crop_margin: int) -> _Scene:
+        """Stage one case: optional content crop (big clinical scans are
+        mostly air — the crop brings gather tables back under the
+        on-chip placement capacity, 6-9x at 512^3, r4; client
+        coordinates are UNCHANGED, sources are translated internally),
+        then placement-aware preparation (:meth:`_prepare`)."""
+        crop_slices = None
+        offset = None
+        orig_shape = tuple(np.shape(volume))
+        if crop:
+            from diffus_tpu.scene import crop_to_content
+
+            cropped, off = crop_to_content(
+                np.asarray(volume, np.float32), margin=crop_margin
+            )
+            crop_slices = tuple(
+                slice(int(o), int(o) + s) for o, s in zip(off, cropped.shape)
+            )
+            offset = jax.device_put(jnp.asarray(off, jnp.float32), self._device)
+            volume = cropped
+        staged_vol = jax.device_put(
+            jnp.asarray(volume, jnp.float32), self._device
+        )
+        return _Scene(
+            staged_vol, self._prepare(staged_vol), offset, crop_slices,
+            crop_margin, orig_shape,
+        )
+
+    def _get_scene(self, name: str) -> _Scene:
+        with self._lock:
+            sc = self._scenes.get(name)
+            resident = sorted(self._scenes)
+        if sc is None:
+            raise KeyError(
+                f"unknown scene {name!r}; resident scenes: {resident}"
+            )
+        return sc
+
+    def add_scene(self, name: str, volume, crop: bool = False,
+                  crop_margin: int = 16) -> None:
+        """Stage a named case (upsert).  Staging (device transfer +
+        placement-aware table prep) happens OUTSIDE the lock; requests
+        in flight against a replaced scene finish against their
+        snapshot.  New staged shapes compile lazily on first dispatch —
+        call :meth:`warmup` (optionally per scene) to prepay."""
+        sc = self._make_scene(volume, crop, crop_margin)
+        with self._lock:
+            self._scenes[name] = sc
+            self._scene_stats.setdefault(
+                name, {"requests": 0, "frames": 0, "recoveries": 0}
+            )
+
+    def remove_scene(self, name: str) -> None:
+        """Evict a resident case (its HBM is freed once in-flight
+        requests holding the snapshot drain).  The last resident scene
+        cannot be removed — a renderer service with nothing to render
+        is a construction-time mistake surfaced late."""
+        with self._lock:
+            if name not in self._scenes:
+                resident = sorted(self._scenes)
+                raise KeyError(
+                    f"unknown scene {name!r}; resident scenes: {resident}"
+                )
+            if len(self._scenes) == 1:
+                raise ValueError("cannot remove the last resident scene")
+            del self._scenes[name]
+
+    def scenes(self) -> dict:
+        """Resident-scene inventory: shape, crop box, and how the scene
+        is staged (``raw`` under the placement capacity, a prepared
+        tile-table class above it)."""
+        from diffus_tpu.ops.sampling import Tile3dVolume, TileVolume
+
+        with self._lock:
+            items = list(self._scenes.items())
+        out = {}
+        for name, sc in items:
+            if isinstance(sc.staged, TileVolume):
+                kind = "tile2d"
+            elif isinstance(sc.staged, Tile3dVolume):
+                kind = "tile3d"
+            else:
+                kind = "raw"
+            out[name] = {
+                "shape": list(sc.volume.shape),
+                "staged": kind,
+                "cropped": sc.crop_slices is not None,
+            }
+        return out
 
     def _prepare(self, volume):
         """Stage the scene: RAW volume for normal sizes, a pre-built
@@ -229,11 +345,26 @@ class RendererService:
                 staged.shape, *strides, itemsize=staged.dtype.itemsize
             )
             if table_bytes > self._PLACEMENT_BYTES:
-                from diffus_tpu.ops.sampling import prepare_tile_volume
+                if resolved == "trilinear_tile":
+                    # above capacity every table is HBM-rate, so
+                    # takes/sample is the whole bill: the HOST-BUILT
+                    # one-take f32 3D tile (exact) beats the 2-take
+                    # (y, z) tile 1.82 vs 3.02 ms/frame at 512^3
+                    # (probe_host3d_r5; the in-XLA f32 build OOMs there).
+                    # _route_tile_family switches the sampler when it
+                    # sees the prepared Tile3dVolume.  Explicit K=2
+                    # opt-ins keep their requested table family.
+                    from diffus_tpu.ops.sampling import (
+                        prepare_tile3d_volume_host,
+                    )
 
-                staged = jax.jit(
-                    lambda v: prepare_tile_volume(v, *strides)
-                )(staged)
+                    staged = prepare_tile3d_volume_host(staged)
+                else:
+                    from diffus_tpu.ops.sampling import prepare_tile_volume
+
+                    staged = jax.jit(
+                        lambda v: prepare_tile_volume(v, *strides)
+                    )(staged)
         elif resolved == "trilinear_tile3d_bf16":
             from diffus_tpu.ops.sampling import tile3d_table_bytes
 
@@ -257,16 +388,36 @@ class RendererService:
                 return b
         return self.batch_tiers[-1]
 
-    def warmup(self) -> float:
-        """Compile every batch tier; returns seconds spent."""
+    def warmup(self, scene: str = None) -> float:
+        """Compile every batch tier for ``scene`` (default: all resident
+        scenes, deduplicated by staged shape/dtype signature — same-shape
+        cases share one compiled program); returns seconds spent."""
         t0 = time.perf_counter()
+        if scene is not None:
+            items = [self._get_scene(scene)]
+        else:
+            with self._lock:
+                items = list(self._scenes.values())
         dummy = jnp.zeros((1, 3), jnp.float32)
-        for b in self.batch_tiers:
-            src = jnp.broadcast_to(dummy, (b, 3))
-            self._fn(self._staged, src, self.directions).block_until_ready()
+        seen = set()
+        for sc in items:
+            sig = (
+                jax.tree_util.tree_structure(sc.staged),
+                tuple(
+                    (leaf.shape, str(leaf.dtype))
+                    for leaf in jax.tree_util.tree_leaves(sc.staged)
+                ),
+            )
+            if sig in seen:
+                continue
+            seen.add(sig)
+            for b in self.batch_tiers:
+                src = jnp.broadcast_to(dummy, (b, 3))
+                self._fn(sc.staged, src, self.directions).block_until_ready()
         return time.perf_counter() - t0
 
-    def warmup_recovery(self, count: int = 8, phases=None) -> float:
+    def warmup_recovery(self, count: int = 8, phases=None,
+                        scene: str = "default") -> float:
         """Precompile (and fully execute once) the pose-recovery program
         for ``(count, phases)`` so the first ``/recover`` request does
         not pay the trace+compile+descent (~30 s on CPU, longer through
@@ -278,8 +429,8 @@ class RendererService:
         from diffus_tpu.train.pose_recovery import render_pose
 
         t0 = time.perf_counter()
-        with self._lock:
-            volume = self.volume
+        sc = self._get_scene(scene)
+        volume = sc.volume
         center = (jnp.asarray(volume.shape, jnp.float32) - 1.0) / 2.0
         # a real rendered target (an all-zeros one can put the descent on
         # degenerate plateaus); recover_pose translates coordinates, so
@@ -290,11 +441,11 @@ class RendererService:
             TransducerPose.create(center),
             cfg.as_base(),
         )
-        if self._offset is not None:
-            center = center + self._offset
+        if sc.offset is not None:
+            center = center + sc.offset
         self.recover_pose(
             np.asarray(target), center, count=count, radius=0.5,
-            rot_scale=0.01, phases=phases,
+            rot_scale=0.01, phases=phases, scene=scene,
             _count=False,  # warmup is not a client request
         )
         return time.perf_counter() - t0
@@ -344,13 +495,32 @@ class RendererService:
             with self._lock:
                 batch = []
                 n = 0
-                while self._queue and (
-                    not batch
-                    or n + self._queue[0].sources.shape[0] <= max_tier
-                ):
-                    req = self._queue.pop(0)
-                    batch.append(req)
-                    n += req.sources.shape[0]
+                if self._queue:
+                    # coalesce ONLY requests bound to the head request's
+                    # scene snapshot (multi-scene: one volume per batch);
+                    # other scenes' requests keep their order and drain
+                    # in subsequent rounds.  Stop collecting a scene at
+                    # the first non-fitting request so same-scene FIFO
+                    # order is preserved.
+                    scene = self._queue[0].scene
+                    rest = []
+                    full = False
+                    for req in self._queue:
+                        if (
+                            req.scene is scene
+                            and not full
+                            and (
+                                not batch
+                                or n + req.sources.shape[0] <= max_tier
+                            )
+                        ):
+                            batch.append(req)
+                            n += req.sources.shape[0]
+                        else:
+                            if req.scene is scene:
+                                full = True
+                            rest.append(req)
+                    self._queue = rest
                 if not batch:
                     self._dispatching = False
                     return
@@ -362,7 +532,7 @@ class RendererService:
                         self._window = min(self._wmax, self._window * 1.5)
                     else:
                         self._window = max(self._wmin, self._window * 0.5)
-                volume = self._staged  # one volume per dispatched batch
+                volume = scene.staged  # one volume per dispatched batch
             try:
                 sources = (
                     jnp.concatenate([r.sources for r in batch], axis=0)
@@ -401,11 +571,12 @@ class RendererService:
                         )
                     r.event.set()
 
-    def render(self, sources) -> jax.Array:
-        """Render a batch of poses.
+    def render(self, sources, scene: str = "default") -> jax.Array:
+        """Render a batch of poses against a resident scene.
 
         Args:
           sources: ``(P, 3)`` apex positions (any P).
+          scene: resident scene name (see :meth:`add_scene`).
         Returns:
           ``(P, n_rays, num_samples - start)`` frames — a device
           ``jax.Array`` for solo requests, a host ``np.ndarray`` slice
@@ -414,12 +585,13 @@ class RendererService:
           uniformly on both).
         """
         t0 = time.perf_counter()
+        sc = self._get_scene(scene)
         sources = jnp.asarray(sources, jnp.float32)
         if sources.ndim == 1:
             sources = sources[None]
-        if self._offset is not None:
+        if sc.offset is not None:
             # crop mode: clients use original-volume coordinates
-            sources = sources - self._offset[None, :]
+            sources = sources - sc.offset[None, :]
         p = sources.shape[0]
         if p == 0:
             depth = self.geometry.num_samples - self.config.start_index(
@@ -429,15 +601,18 @@ class RendererService:
         with self._lock:
             self.stats["requests"] += 1
             self.stats["frames"] += int(p)
+            st = self._scene_stats.setdefault(
+                scene, {"requests": 0, "frames": 0, "recoveries": 0}
+            )
+            st["requests"] += 1
+            st["frames"] += int(p)
         if not self._coalesce or p > self.batch_tiers[-1]:
             # large requests fill whole tiers on their own; dispatch
-            # directly against a snapshot of the staged volume
-            with self._lock:
-                volume = self._staged
-            out = self._dispatch(volume, sources)
+            # directly against the scene snapshot
+            out = self._dispatch(sc.staged, sources)
             self._record_latency(out, t0)
             return out
-        req = _Pending(sources)
+        req = _Pending(sources, sc)
         with self._lock:
             self._queue.append(req)
             leader = not self._dispatching
@@ -499,33 +674,57 @@ class RendererService:
         with self._lock:
             out = dict(self.stats)
             out["window_ms"] = round(self._window * 1e3, 3)
+            out["scenes"] = {
+                name: dict(st) for name, st in self._scene_stats.items()
+            }
             for kind, buf in self._latencies.items():
                 if buf:
                     out[f"latency_{kind}_ms"] = self._percentiles(buf)
             return out
 
-    def update_volume(self, volume) -> None:
-        """Swap the resident volume (e.g. new case) without recompiling —
-        shapes must match the construction-time volume (for a
-        ``crop=True`` service, pass the ORIGINAL-shape volume; the same
-        crop box is re-applied so compiled tier shapes stay valid).
-        Takes effect from the next dispatched batch; a render already on
-        device finishes against the volume it snapshotted (each dispatch
-        is internally consistent)."""
+    def update_volume(self, volume, scene: str = "default",
+                      allow_reshape: bool = False) -> None:
+        """Swap a resident scene's volume (e.g. new case data).
+
+        By default shapes must match the scene's staged volume so the
+        compiled tier programs stay valid (for a cropped scene, pass the
+        ORIGINAL-shape volume; the same crop box is re-applied).  With
+        ``allow_reshape=True`` a different shape re-stages the scene
+        from scratch (recomputing the content crop for cropped scenes);
+        the next dispatch on the new shape pays a compile — call
+        :meth:`warmup` to prepay (re-warm).  Takes effect from the next
+        dispatched batch; a render already on device finishes against
+        the snapshot it holds (each dispatch is internally
+        consistent)."""
+        old = self._get_scene(scene)
         new = jnp.asarray(volume, jnp.float32)
-        if self._crop_slices is not None and new.shape != self.volume.shape:
-            new = new[self._crop_slices[0], self._crop_slices[1],
-                      self._crop_slices[2]]
-        if new.shape != self.volume.shape:
-            raise ValueError(
-                f"volume shape {new.shape} != staged {self.volume.shape}; "
-                "build a new service for a different shape"
+        cropped_new = new
+        if old.crop_slices is not None and new.shape == old.orig_shape:
+            # same-ORIGINAL-shape update on a cropped scene: re-apply the
+            # construction box so compiled tier shapes stay valid (a
+            # DIFFERENT original shape falls through to the reshape path
+            # and recomputes the crop — the old box would be stale)
+            sl = old.crop_slices
+            cropped_new = new[sl[0], sl[1], sl[2]]
+        if cropped_new.shape != old.volume.shape:
+            if not allow_reshape:
+                raise ValueError(
+                    f"volume shape {new.shape} != staged "
+                    f"{old.volume.shape} for scene {scene!r}; pass "
+                    "allow_reshape=True to re-stage (next dispatch "
+                    "recompiles) or add a new scene"
+                )
+            sc = self._make_scene(
+                np.asarray(new), old.crop_slices is not None, old.crop_margin
             )
-        staged = jax.device_put(new, self._device)
-        prepared = self._prepare(staged)
+        else:
+            staged_vol = jax.device_put(cropped_new, self._device)
+            sc = _Scene(
+                staged_vol, self._prepare(staged_vol), old.offset,
+                old.crop_slices, old.crop_margin, old.orig_shape,
+            )
         with self._lock:
-            self.volume = staged
-            self._staged = prepared
+            self._scenes[scene] = sc
 
     def _recovery_config(self, phases=None):
         """The pose-recovery forward model: this service's render config
@@ -562,6 +761,7 @@ class RendererService:
         rot_scale: float = 0.05,
         phases=None,
         seed: int = 0,
+        scene: str = "default",
         _count: bool = True,
     ) -> dict:
         """Recover the 6-DoF transducer pose that produced
@@ -611,14 +811,18 @@ class RendererService:
                 f"target frame shape {target.shape} != expected "
                 f"({self.geometry.n_rays}, {depth})"
             )
+        sc = self._get_scene(scene)
         init_position = jnp.asarray(init_position, jnp.float32)
-        if self._offset is not None:
-            init_position = init_position - self._offset
+        if sc.offset is not None:
+            init_position = init_position - sc.offset
         cfg = self._recovery_config(phases)
-        with self._lock:
-            volume = self.volume  # raw staged volume (not a tile table)
-            if _count:  # warmup_recovery passes False: not a request
+        volume = sc.volume  # raw staged volume (not a tile table)
+        if _count:  # warmup_recovery passes False: not a request
+            with self._lock:
                 self.stats["recoveries"] += 1
+                self._scene_stats.setdefault(
+                    scene, {"requests": 0, "frames": 0, "recoveries": 0}
+                )["recoveries"] += 1
         init = sample_init_poses(
             jax.random.PRNGKey(seed), init_position, radius, rot_scale, count
         )
@@ -626,8 +830,8 @@ class RendererService:
             volume, target, init, cfg
         )
         positions = np.asarray(poses.position)
-        if self._offset is not None:
-            positions = positions + np.asarray(self._offset)
+        if sc.offset is not None:
+            positions = positions + np.asarray(sc.offset)
         rotvecs = np.asarray(poses.rotvec)
         finals = np.asarray(losses)[:, -1]
         # zero-impedance regions make the parity reflection coefficient
@@ -661,18 +865,25 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
                      port: int = 8080, max_body_bytes: int = 1 << 30):
     """Minimal stdlib HTTP front-end for :class:`RendererService`.
 
-    Endpoints (JSON):
+    Endpoints (JSON; ``"scene"`` defaults to ``"default"`` everywhere):
       GET  /healthz            -> {"ok": true}
-      GET  /stats              -> request counters
-      POST /render {"sources": [[x,y,z], ...]}
+      GET  /stats              -> request counters (incl. per-scene)
+      GET  /scenes             -> resident-scene inventory
+      POST /render {"sources": [[x,y,z], ...], "scene"?: "name"}
            -> {"shape": [...], "dtype": "float32", "npy_b64": "..."}
               (frames as a base64 .npy payload — lossless and compact;
               decode with ``np.load(io.BytesIO(base64.b64decode(s)))``)
-      POST /update_volume {"npy_b64": "..."}   (same-shape volume swap:
-           new case without recompiling; tables re-staged)
+      POST /add_scene {"name": "...", "npy_b64": "...", "crop"?: false,
+           "crop_margin"?: 16}   (stage another resident case — the
+           reference's per-case workflow, REUBEN 46/50/55/63)
+      POST /remove_scene {"name": "..."}
+      POST /update_volume {"npy_b64": "...", "scene"?: "name",
+           "allow_reshape"?: false}   (volume swap: new case data;
+           tables re-staged; reshape recompiles on next dispatch)
       POST /recover {"target_npy_b64": "...", "init_position": [x,y,z],
            "count"?: 8, "radius"?: 3.0, "rot_scale"?: 0.05,
-           "phases"?: [[sigma, lr_pos, lr_rot, steps], ...], "seed"?: 0}
+           "phases"?: [[sigma, lr_pos, lr_rot, steps], ...], "seed"?: 0,
+           "scene"?: "name"}
            -> best-start pose + per-start results
               (see :meth:`RendererService.recover_pose`)
 
@@ -709,6 +920,8 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
                 self._send(200, {"ok": True})
             elif self.path == "/stats":
                 self._send(200, service.snapshot_stats())
+            elif self.path == "/scenes":
+                self._send(200, service.scenes())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -723,7 +936,9 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/render":
                     sources = np.asarray(req["sources"], np.float32)
-                    frames = np.asarray(service.render(sources))
+                    frames = np.asarray(
+                        service.render(sources, scene=req.get("scene", "default"))
+                    )
                     buf = io.BytesIO()
                     np.save(buf, frames)
                     self._send(
@@ -736,8 +951,28 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
                     )
                 elif self.path == "/update_volume":
                     new = np.load(io.BytesIO(base64.b64decode(req["npy_b64"])))
-                    service.update_volume(new)
+                    service.update_volume(
+                        new,
+                        scene=req.get("scene", "default"),
+                        allow_reshape=bool(req.get("allow_reshape", False)),
+                    )
                     self._send(200, {"ok": True, "shape": list(new.shape)})
+                elif self.path == "/add_scene":
+                    new = np.load(io.BytesIO(base64.b64decode(req["npy_b64"])))
+                    service.add_scene(
+                        str(req["name"]),
+                        new,
+                        crop=bool(req.get("crop", False)),
+                        crop_margin=int(req.get("crop_margin", 16)),
+                    )
+                    self._send(
+                        200,
+                        {"ok": True, "name": str(req["name"]),
+                         "shape": list(new.shape)},
+                    )
+                elif self.path == "/remove_scene":
+                    service.remove_scene(str(req["name"]))
+                    self._send(200, {"ok": True, "name": str(req["name"])})
                 elif self.path == "/recover":
                     target = np.load(
                         io.BytesIO(base64.b64decode(req["target_npy_b64"]))
@@ -750,6 +985,7 @@ def make_http_server(service: RendererService, host: str = "127.0.0.1",
                         rot_scale=float(req.get("rot_scale", 0.05)),
                         phases=req.get("phases"),
                         seed=int(req.get("seed", 0)),
+                        scene=req.get("scene", "default"),
                     )
                     self._send(200, result)
                 else:

@@ -366,3 +366,73 @@ def test_cli_recover_pose_annealed(tmp_path, capsys):
     assert out["annealed"] is True and out["starts"] == 2
     assert np.isfinite(out["loss_last"])
     assert out["loss_last"] <= out["loss_first"]
+
+
+def test_cli_serve_http_multi_scene(tmp_path):
+    """Multi-scene HTTP surface (VERDICT r4 #6): /add_scene stages a
+    case over the wire, /render routes per scene, /scenes lists the
+    registry, /remove_scene evicts, unknown scenes fail cleanly."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from diffus_tpu.serve import RendererService, make_http_server
+    from diffus_tpu.types import RenderConfig, BeamGeometry
+    from diffus_tpu.phantoms import brain_phantom_3d
+
+    vol_a = brain_phantom_3d((16, 16, 16))
+    vol_b = np.asarray(vol_a)[::-1].copy()
+    svc = RendererService(
+        vol_a,
+        BeamGeometry(n_rays=4, num_samples=8),
+        RenderConfig(attenuation_coeff=1e-4),
+        batch_tiers=(2,),
+    )
+    server = make_http_server(svc, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"{url}{path}", data=_json.dumps(payload).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return _json.load(r)
+
+    def npy_b64(arr):
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(arr, np.float32))
+        return base64.b64encode(buf.getvalue()).decode()
+
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        assert post("/add_scene", {"name": "case_b", "npy_b64": npy_b64(vol_b)})["ok"]
+        with urllib.request.urlopen(f"{url}/scenes", timeout=10) as r:
+            inv = _json.load(r)
+        assert set(inv) == {"default", "case_b"}
+        out_a = post("/render", {"sources": [[8.0, 1.0, 8.0]]})
+        out_b = post("/render", {"sources": [[8.0, 1.0, 8.0]], "scene": "case_b"})
+        f_a = np.load(io.BytesIO(base64.b64decode(out_a["npy_b64"])))
+        f_b = np.load(io.BytesIO(base64.b64decode(out_b["npy_b64"])))
+        assert not np.allclose(f_a, f_b)  # really two different cases
+        want_b = np.asarray(svc.render(
+            np.array([[8.0, 1.0, 8.0]], np.float32), scene="case_b"
+        ))
+        np.testing.assert_allclose(f_b, want_b, rtol=1e-6)
+        with urllib.request.urlopen(f"{url}/stats", timeout=10) as r:
+            st = _json.load(r)
+        assert st["scenes"]["case_b"]["frames"] >= 1
+        # unknown scene -> 400, server survives
+        try:
+            post("/render", {"sources": [[8.0, 1.0, 8.0]], "scene": "nope"})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert post("/remove_scene", {"name": "case_b"})["ok"]
+        with urllib.request.urlopen(f"{url}/scenes", timeout=10) as r:
+            assert set(_json.load(r)) == {"default"}
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -360,8 +360,9 @@ def test_service_adaptive_window_controller():
     assert s.snapshot_stats()["window_ms"] == 4.0
     # deterministic coalesced round: 3 queued requests drained by one
     # leader -> window grows 1.5x and every waiter gets its slice
+    sc = s._get_scene("default")
     reqs = [
-        _Pending(jnp.asarray(np.array([[8.0, 1.0 + i, 8.0]], np.float32)))
+        _Pending(jnp.asarray(np.array([[8.0, 1.0 + i, 8.0]], np.float32)), sc)
         for i in range(3)
     ]
     with s._lock:
@@ -384,7 +385,7 @@ def test_service_adaptive_window_controller():
     for _ in range(6):
         with s._lock:
             s._queue.extend(
-                _Pending(jnp.asarray(np.array([[8.0, 1.0, 8.0]], np.float32)))
+                _Pending(jnp.asarray(np.array([[8.0, 1.0, 8.0]], np.float32)), sc)
                 for _ in range(2)
             )
             s._dispatching = True
@@ -453,7 +454,7 @@ def test_service_recover_pose_crop_coordinates():
     # forward model renders in CROPPED coordinates
     target = render_pose(
         s.volume,
-        TransducerPose.create(jnp.asarray(true) - s._offset),
+        TransducerPose.create(jnp.asarray(true) - s._get_scene("default").offset),
         cfg.as_base(),
     )
     res = s.recover_pose(
@@ -571,3 +572,147 @@ def test_service_latency_percentiles():
     st = s.snapshot_stats()
     assert st["latency_pulled_ms"]["n"] == 2
     assert st["latency_pulled_ms"]["p95_ms"] >= st["latency_pulled_ms"]["p50_ms"]
+
+
+def test_service_multi_scene_routing():
+    """Named scene registry (VERDICT r4 #6): per-request routing hits
+    the right resident case, the inventory reports staging, and
+    per-scene stats count independently."""
+    vol_a = brain_phantom_3d((16, 16, 16))
+    # a structurally DIFFERENT case (reflection coefficients are
+    # scale-invariant, so a scaled copy would render identically)
+    vol_b = np.asarray(vol_a)[::-1].copy()
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(vol_a, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1, 4))
+    s.add_scene("case_b", vol_b)
+    s.warmup()  # both scenes share the compiled tier set (same shape)
+    src = np.array([8.0, 1.0, 8.0], np.float32)
+    f_a = np.asarray(s.render(src)[0])
+    f_b = np.asarray(s.render(src, scene="case_b")[0])
+    want_a = render_frame(jnp.asarray(vol_a), jnp.asarray(src), s.directions,
+                          8, s.config)[3]
+    want_b = render_frame(jnp.asarray(vol_b), jnp.asarray(src), s.directions,
+                          8, s.config)[3]
+    np.testing.assert_allclose(f_a, np.asarray(want_a), rtol=1e-6)
+    np.testing.assert_allclose(f_b, np.asarray(want_b), rtol=1e-6)
+    assert not np.allclose(f_a, f_b)  # cross-scene isolation
+    inv = s.scenes()
+    assert set(inv) == {"default", "case_b"}
+    assert inv["case_b"]["shape"] == [16, 16, 16]
+    assert inv["case_b"]["staged"] == "raw"  # under placement capacity
+    st = s.snapshot_stats()
+    assert st["scenes"]["default"]["frames"] == 1
+    assert st["scenes"]["case_b"]["frames"] == 1
+    with pytest.raises(KeyError, match="resident scenes"):
+        s.render(src, scene="missing")
+
+
+def test_service_multi_scene_coalescing_isolated():
+    """Coalescing is keyed on the scene snapshot: interleaved queued
+    requests for two scenes drain as per-scene batches (never one mixed
+    dispatch), preserving FIFO within each scene."""
+    from diffus_tpu.serve import _Pending
+
+    vol_a = brain_phantom_3d((16, 16, 16))
+    vol_b = np.asarray(vol_a) * 2.0
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(vol_a, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1, 4))
+    s.add_scene("b", vol_b)
+    s.warmup()
+    src = np.array([8.0, 1.0, 8.0], np.float32)
+    want_a = np.asarray(s.render(src)[0])
+    want_b = np.asarray(s.render(src, scene="b")[0])
+    base_batches = s.snapshot_stats()["batches"]
+    sc_a = s._get_scene("default")
+    sc_b = s._get_scene("b")
+    reqs = [
+        _Pending(jnp.asarray(src[None]), sc)
+        for sc in (sc_a, sc_b, sc_a, sc_b)
+    ]
+    with s._lock:
+        s._queue.extend(reqs)
+        s._dispatching = True
+    s._drain()
+    for r, want in zip(reqs, (want_a, want_b, want_a, want_b)):
+        assert r.event.is_set() and r.error is None
+        np.testing.assert_allclose(
+            np.asarray(r.result)[0], want, rtol=1e-6, atol=1e-7
+        )
+    # 4 interleaved requests, 2 scenes -> exactly 2 dispatched batches
+    assert s.snapshot_stats()["batches"] == base_batches + 2
+
+
+def test_service_update_volume_reshape():
+    """Shape-changing update_volume: refused by default (compiled tiers),
+    re-staged with allow_reshape=True (re-warm on next dispatch)."""
+    vol = brain_phantom_3d((16, 16, 16))
+    big = brain_phantom_3d((20, 20, 20))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(vol, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1,))
+    s.warmup()
+    with pytest.raises(ValueError, match="allow_reshape"):
+        s.update_volume(big)
+    s.update_volume(big, allow_reshape=True)
+    assert s.volume.shape == (20, 20, 20)
+    s.warmup()  # re-warm compiles the new shape
+    src = np.array([10.0, 1.0, 10.0], np.float32)
+    got = np.asarray(s.render(src)[0])
+    want = render_frame(jnp.asarray(big), jnp.asarray(src), s.directions,
+                        8, s.config)[3]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6)
+
+
+def test_service_update_volume_reshape_recrops():
+    """A cropped scene re-staged through allow_reshape recomputes the
+    content box on the NEW volume (old box would be stale)."""
+    full = np.zeros((28, 28, 28), np.float32)
+    full[4:20, 4:20, 4:20] = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(full, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1,), crop=True, crop_margin=0)
+    crop0 = s.volume.shape
+    assert crop0 < (28, 28, 28)
+    bigger = np.zeros((32, 32, 32), np.float32)
+    bigger[2:26, 2:26, 2:26] = brain_phantom_3d((24, 24, 24))
+    s.update_volume(bigger, allow_reshape=True)
+    assert s.volume.shape != crop0
+    # client coordinates remain in the NEW original frame
+    src = np.array([14.0, 3.0, 14.0], np.float32)
+    got = np.asarray(s.render(src)[0])
+    sc = s._get_scene("default")
+    want = render_frame(
+        sc.volume, jnp.asarray(src) - sc.offset, s.directions, 8, s.config
+    )[3]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6)
+
+
+def test_service_remove_scene():
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(vol, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1,))
+    s.add_scene("b", np.asarray(vol) * 2.0)
+    s.remove_scene("b")
+    assert set(s.scenes()) == {"default"}
+    with pytest.raises(KeyError, match="resident scenes"):
+        s.remove_scene("b")
+    with pytest.raises(ValueError, match="last resident"):
+        s.remove_scene("default")
+    # in-flight snapshots survive removal: a request holding the scene
+    # object still renders (consistency contract)
+    from diffus_tpu.serve import _Pending
+
+    s.add_scene("c", np.asarray(vol) * 2.0)
+    s.warmup()
+    sc_c = s._get_scene("c")
+    req = _Pending(jnp.asarray(np.array([[8.0, 1.0, 8.0]], np.float32)), sc_c)
+    s.remove_scene("c")
+    with s._lock:
+        s._queue.append(req)
+        s._dispatching = True
+    s._drain()
+    assert req.event.is_set() and req.error is None
+    assert np.all(np.isfinite(np.asarray(req.result)))
