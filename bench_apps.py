@@ -135,6 +135,17 @@ def main():
     )
     results["pose_recovery"] = sr
 
+    # capability envelope: success vs initial-error radius (VERDICT r4
+    # #5).  Radii >= 4 route through the grid-scored global stage
+    # (recover_pose_global); fixed per-radius seeds.
+    from diffus_tpu.train.pose_recovery import pose_recovery_envelope
+
+    results["pose_recovery_envelope"] = pose_recovery_envelope(
+        vol, TransducerPose.create([dim / 2, 4.0, dim / 2]), acfg,
+        jax.random.PRNGKey(11), radii=(2.0, 4.0, 6.0, 10.0), count=8,
+        rot_scale=0.05,
+    )
+
     results["device"] = str(jax.devices()[0])
     results["note"] = "readback-closed, sync subtracted; volume 128^3"
     print(json.dumps(results))

@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from diffus_tpu.types import RenderConfig, TransducerPose, BeamGeometry
@@ -219,6 +220,97 @@ def recover_pose_multistart_annealed(
     return poses, losses, best
 
 
+# --- global stage: coarse candidate scoring for large initial errors -------
+#
+# The annealed descent is LOCAL: its coarsest blur widens the MSE basin
+# to several voxels, but a start 6-10 voxels out (a realistic
+# registration prior) lands outside every basin and the descent fails.
+# Gradient-free seeding fixes this at near-zero cost: forward renders
+# are ~3 orders of magnitude cheaper than a full descent (one render vs
+# ~600 render+grad steps), so scoring dozens of random candidates at the
+# coarsest blur and descending only from the best few extends the
+# capture radius without a second optimizer.
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def score_poses(volume, target_frame, poses: TransducerPose, cfg: AnnealedPoseConfig):
+    """Coarse-blur MSE score of a batch of candidate poses (forward
+    renders only, no gradients; one jitted vmap).  Blur sigma is the
+    annealed schedule's coarsest phase — the widest basin the descent
+    itself will see, so a candidate that scores well here is inside the
+    descent's capture range."""
+    base = cfg.as_base()
+    sigma = cfg.phases[0][0]
+    target_b = gaussian_blur_frame(target_frame, sigma)
+
+    def one(p):
+        frame = gaussian_blur_frame(render_pose(volume, p, base), sigma)
+        return jnp.mean((frame - target_b) ** 2)
+
+    return jax.vmap(one)(poses)
+
+
+def recover_pose_global(
+    volume,
+    target_frame,
+    center,
+    cfg: AnnealedPoseConfig,
+    key,
+    candidates: int = 256,
+    radius: float = 8.0,
+    rot_scale: float = 0.05,
+    keep: int = 6,
+    spacing: float = 2.0,
+):
+    """Global-then-local 6-DoF recovery for LARGE initial errors
+    (5-10+ voxels, where the annealed descent alone fails — the
+    registration regime of ``[NW] alignement.ipynb``'s workflow).
+
+    Stage 1 scores a cubic GRID of candidate positions (``spacing``
+    voxels apart, covering the ``radius`` ball around ``center``, the
+    prior — auto-coarsened if the grid would exceed ``candidates``
+    points) with :func:`score_poses` and keeps the best ``keep``.
+    Stage 2 runs the annealed multistart descent from those seeds (the
+    best seed keeps the prior's rotation; the others get ``rot_scale``
+    rotation diversity).  Returns ``(poses, losses, best)`` over the
+    ``keep`` refined starts (cf. :func:`recover_pose_multistart_annealed`).
+
+    Why a 2-voxel grid and not sparse random sampling: the local
+    descent's reliable capture region is only ~1-2 voxels in EVERY
+    direction (the fan-plane-normal axis is 100-1000x shallower than
+    in-plane, and even in-plane errors >2 voxels detour through the
+    shallow axis and strand off-plane — measured r5, per-axis probe in
+    docs/benchmarking.md).  The grid guarantees a candidate within
+    ``spacing*sqrt(3)/2`` of the truth, and the coarse-blur score ranks
+    it reliably (measured: nearest grid point scores in the top 2 of
+    179 at radius 6).  Cost is forward renders only — ~3 orders of
+    magnitude cheaper per candidate than a descent.
+    """
+    center = np.asarray(center, np.float32)
+    s = float(spacing)
+    while True:
+        ax = np.arange(-float(radius), float(radius) + 1e-6, s, dtype=np.float32)
+        ax = ax - (ax[0] + ax[-1]) / 2.0  # symmetric about the prior
+        grid = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+        grid = grid[np.linalg.norm(grid, axis=1) <= float(radius) + s / 2]
+        if len(grid) <= int(candidates):
+            break
+        s *= 1.26
+    pts = np.concatenate([np.zeros((1, 3), np.float32), grid]) + center[None]
+    init = TransducerPose(
+        position=jnp.asarray(pts),
+        rotvec=jnp.zeros((len(pts), 3), jnp.float32),
+    )
+    scores = np.asarray(score_poses(volume, target_frame, init, cfg))
+    order = np.argsort(scores)[: int(keep)]
+    rots = rot_scale * jax.random.normal(key, (len(order), 3))
+    rots = rots.at[0].set(0.0)  # best-scored seed keeps the prior rotation
+    seeds = TransducerPose(
+        position=jnp.asarray(pts[order]), rotvec=rots
+    )
+    return recover_pose_multistart_annealed(volume, target_frame, seeds, cfg)
+
+
 def pose_recovery_benchmark(
     volume,
     true_pose: TransducerPose,
@@ -229,6 +321,8 @@ def pose_recovery_benchmark(
     rot_scale: float = 0.05,
     pos_tol: float = 1.0,
     rot_tol: float = 0.1,
+    global_stage: bool = False,
+    candidates: int = 48,
 ) -> dict:
     """End-to-end acceptance metric for pose recovery (VERDICT r3 weak
     #6): render the target at ``true_pose``, run ``count`` multistart
@@ -237,16 +331,34 @@ def pose_recovery_benchmark(
     and report the fraction that recover the truth within tolerance plus
     whether the BEST-loss start does (the multistart workflow's real
     acceptance question).
+
+    ``global_stage=True`` routes through :func:`recover_pose_global`
+    (coarse scoring of ``candidates`` random poses seeds the ``count``
+    descents) — required for radii beyond the annealed descent's
+    ~4-voxel capture radius; ``success_rate`` is then over the refined
+    seeds.  The prior handed to the global stage is a pose ``radius``
+    away from the truth (worst-case initial error, not the truth
+    itself).
     """
     import numpy as np
 
     target = render_pose(volume, true_pose, cfg.as_base())
-    init = sample_init_poses(
-        key, true_pose.position, radius, rot_scale, count
-    )
-    poses, losses, best = recover_pose_multistart_annealed(
-        volume, target, init, cfg
-    )
+    if global_stage:
+        kp, kc = jax.random.split(jax.random.PRNGKey(0) if key is None else key)
+        # worst-case prior: a point ON the radius sphere around truth
+        d = jax.random.normal(kp, (3,))
+        prior = true_pose.position + radius * d / (jnp.linalg.norm(d) + 1e-12)
+        poses, losses, best = recover_pose_global(
+            volume, target, prior, cfg, kc, candidates=candidates,
+            radius=radius, rot_scale=rot_scale, keep=count,
+        )
+    else:
+        init = sample_init_poses(
+            key, true_pose.position, radius, rot_scale, count
+        )
+        poses, losses, best = recover_pose_multistart_annealed(
+            volume, target, init, cfg
+        )
     pos_err = np.linalg.norm(
         np.asarray(poses.position) - np.asarray(true_pose.position), axis=1
     )
@@ -263,7 +375,41 @@ def pose_recovery_benchmark(
         "best_recovered": bool(ok[b]),
         "pos_tol": float(pos_tol),
         "rot_tol": float(rot_tol),
+        "global_stage": bool(global_stage),
+        "radius": float(radius),
     }
+
+
+def pose_recovery_envelope(
+    volume,
+    true_pose: TransducerPose,
+    cfg: AnnealedPoseConfig,
+    key,
+    radii=(2.0, 4.0, 6.0, 10.0),
+    count: int = 8,
+    rot_scale: float = 0.05,
+    pos_tol: float = 1.0,
+    rot_tol: float = 0.1,
+    global_threshold: float = 4.0,
+    candidates: int = 768,
+) -> dict:
+    """Success-rate vs initial-error radius — the capability envelope
+    (VERDICT r4 #5).  One :func:`pose_recovery_benchmark` per radius
+    with a fixed per-radius seed; radii at or beyond
+    ``global_threshold`` voxels route through the global
+    candidate-scoring stage (the local annealed descent's measured
+    capture radius is ~3-4 voxels).  Returns ``{radius: benchmark
+    dict}`` keyed by the radius as a string (JSON-friendly)."""
+    out = {}
+    for i, r in enumerate(radii):
+        out[str(float(r))] = pose_recovery_benchmark(
+            volume, true_pose, cfg, jax.random.fold_in(key, i),
+            count=count, radius=float(r), rot_scale=rot_scale,
+            pos_tol=pos_tol, rot_tol=rot_tol,
+            global_stage=float(r) >= global_threshold,
+            candidates=candidates,
+        )
+    return out
 
 
 @partial(jax.jit, static_argnames=("num_samples", "render", "lr", "steps"))

@@ -533,3 +533,37 @@ def test_annealed_pose_recovery_success_floor():
     assert out["success_rate"] >= 0.5, out
     assert out["best_recovered"], out
     assert out["best_pos_err"] < 1.0, out
+
+
+def test_global_stage_pose_recovery_floor_radius6():
+    """Capability-envelope floor BEYOND the local descent's ~3-4-voxel
+    capture radius (VERDICT r4 #5): from a worst-case 6-voxel prior (on
+    the sphere, not inside the ball), the grid-scored global stage
+    (recover_pose_global via pose_recovery_benchmark(global_stage=True))
+    must put the best-loss start within tolerance.  Calibrated r5 on
+    CPU: seeds 0/5/11 recover best 0.79/0.37/0.68 voxel with 2/6 starts
+    in tolerance; the LOCAL descent from the same radius strands at
+    4-12 voxels (the fan-plane-normal axis captures only ~1-2 voxels and
+    frame blur cannot widen it — docs/benchmarking.md r5)."""
+    from diffus_tpu.train.pose_recovery import (
+        AnnealedPoseConfig,
+        pose_recovery_benchmark,
+    )
+
+    dim = 128
+    cfg = AnnealedPoseConfig(
+        geometry=BeamGeometry(n_rays=64, num_samples=128),
+        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+        phases=((3.0, 0.25, 0.012, 80), (1.0, 0.12, 0.006, 80),
+                (0.0, 0.08, 0.004, 120)),
+    )
+    vol = jnp.asarray(brain_phantom_3d((dim,) * 3))
+    true = TransducerPose.create([dim / 2, 4.0, dim / 2])
+    out = pose_recovery_benchmark(
+        vol, true, cfg, jax.random.PRNGKey(0), count=6,
+        radius=6.0, rot_scale=0.03, global_stage=True, candidates=256,
+    )
+    assert out["global_stage"] and out["radius"] == 6.0
+    assert out["best_recovered"], out
+    assert out["best_pos_err"] < 1.0, out
+    assert out["success_rate"] >= 1.0 / 6.0, out
