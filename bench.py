@@ -24,6 +24,7 @@ kernel (adds minutes of Mosaic remote-compile on a cold cache; measured
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -265,16 +266,36 @@ def main():
                     + rng.uniform(-4, 4, 3).astype(np.float32))
         for _ in range(145)
     ]
+    # use_pallas routes the propagation solver (fwd kernel + custom-vjp
+    # scan backward) — measured -7.6% on the full train step with a
+    # bit-identical loss trajectory (probe_train2_r5: 4.03 vs 4.36
+    # ms/step within one session); same Mosaic-failure fallback contract
+    # as the trilinear loop above
     tcfg = ImpedanceTrainConfig(
         num_samples=samples, slice_index=dim // 2, lr=0.01,
         loss="masked_mse_edge", image_shape=(128, 128), splat_axes=(0, 1),
-        render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+        render=RenderConfig(
+            attenuation_coeff=1e-4, interp="trilinear", use_pallas=True
+        ),
     )
     x, y, _, frame = render_frame(vol128, srcs[0], dirs128, samples, tcfg.render)
     target = splat_frame((x, y, None), frame, (0, 1), (128, 128))
     params = init_params(jax.random.PRNGKey(0))
     opt_state = optax.adam(tcfg.lr).init(params)
     mask = jnp.ones((128, 128), bool)
+    train_pallas = True
+    try:
+        float(train_step(
+            params, opt_state, t1, target, mask, srcs[-1], dirs128, tcfg
+        )[2])
+    except Exception as e:
+        print(f"# pallas train path failed ({type(e).__name__}); "
+              "falling back to the XLA scan", flush=True)
+        train_pallas = False
+        tcfg = dataclasses.replace(
+            tcfg,
+            render=RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+        )
     train_ms = readback_time_ms(
         lambda src: train_step(params, opt_state, t1, target, mask, src, dirs128, tcfg)[2],
         [(s,) for s in srcs],
@@ -339,6 +360,7 @@ def main():
                 "target_fps": TARGET_FPS,
                 "pallas": use_pallas,
                 "trilinear_pallas_prop": tri_pallas,
+                "train_pallas_prop": train_pallas,
                 "device": str(jax.devices()[0]),
                 "jax_version": jax.__version__,
                 "pass": ok,
