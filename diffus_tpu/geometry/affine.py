@@ -11,16 +11,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _mv(m: jax.Array, v: jax.Array) -> jax.Array:
+    """3x3 matrix-vector product at HIGHEST precision: the TPU default
+    bf16-rounds matmuls, which puts ~1e-3 relative noise on COORDINATES
+    (fractional-voxel positions feed samplers directly).  Tiny product;
+    full precision is free (r5, cf. geometry/fan.py)."""
+    return jnp.matmul(m, v, precision=jax.lax.Precision.HIGHEST)
+
+
 def voxel_to_world(idx_ijk: jax.Array, affine: jax.Array) -> jax.Array:
     """Homogeneous voxel index -> world point (``cone.py:10-13``)."""
     idx_ijk = jnp.asarray(idx_ijk, dtype=jnp.float32)
-    return affine[:3, :3] @ idx_ijk + affine[:3, 3]
+    return _mv(affine[:3, :3], idx_ijk) + affine[:3, 3]
 
 def world_to_voxel(xyz: jax.Array, affine: jax.Array) -> jax.Array:
     """World point -> fractional voxel index (``cone.py:15-19``)."""
     xyz = jnp.asarray(xyz, dtype=jnp.float32)
     inv = jnp.linalg.inv(affine)
-    return inv[:3, :3] @ xyz + inv[:3, 3]
+    return _mv(inv[:3, :3], xyz) + inv[:3, 3]
 
 
 def transform_point(idx: jax.Array, src_affine: jax.Array, dst_affine: jax.Array) -> jax.Array:
@@ -40,7 +48,7 @@ def transform_direction(
     vec = jnp.asarray(vec, dtype=jnp.float32)
     r_src = src_affine[:3, :3]
     r_dst = dst_affine[:3, :3]
-    return r_dst @ (jnp.linalg.inv(r_src) @ vec)
+    return _mv(r_dst, _mv(jnp.linalg.inv(r_src), vec))
 
 
 def mri_to_us_point(i_mri, j_mri, slice_idx, t1_affine, us_affine):

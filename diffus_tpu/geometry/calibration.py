@@ -73,7 +73,11 @@ def cone_us_to_mri(apex_us_vox, direction_2d, us_affine, t1_affine):
     )
     r_us = jnp.asarray(us_affine, jnp.float32)[:3, :3]
     r_t1 = jnp.asarray(t1_affine, jnp.float32)[:3, :3]
-    rotated = r_t1 @ (jnp.linalg.inv(r_us) @ d3)
+    rotated = jnp.matmul(
+        r_t1, jnp.matmul(jnp.linalg.inv(r_us), d3,
+                         precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # full precision: coordinates (r5, cf. geometry/fan.py)
     d2 = rotated[:2] / jnp.linalg.norm(rotated[:2])
     return apex_t1, d2
 
@@ -94,7 +98,11 @@ def us_to_mri_beam_scale(direction_2d, us_affine, t1_affine) -> jax.Array:
     )
     r_us = jnp.asarray(us_affine, jnp.float32)[:3, :3]
     r_t1 = jnp.asarray(t1_affine, jnp.float32)[:3, :3]
-    return jnp.linalg.norm(jnp.linalg.inv(r_t1) @ (r_us @ d3))
+    return jnp.linalg.norm(jnp.matmul(
+        jnp.linalg.inv(r_t1),
+        jnp.matmul(r_us, d3, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
+    ))
 
 
 def cone_mask(shape, apex, direction_2d, opening_angle: float) -> jax.Array:

@@ -68,7 +68,13 @@ def pose_fan_directions(pose: TransducerPose, geometry: BeamGeometry) -> jax.Arr
     """
     fan = canonical_fan(geometry.opening_angle, geometry.n_rays)
     rot = rotvec_to_matrix(pose.rotvec)
-    return fan @ rot.T
+    # HIGHEST precision: the TPU default bf16-rounds this (n_rays, 3) x
+    # (3, 3) product, putting ~1e-3 relative noise on every ray
+    # direction — ~0.1-0.3 voxel of position noise at depth 128, which
+    # plateaus fine pose descents around a voxel (r5: the TPU envelope
+    # run converged 5-10x worse than CPU from identical seeds until
+    # this).  The matmul is tiny; full precision is free.
+    return jnp.matmul(fan, rot.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def fan_angles(geometry: BeamGeometry) -> jax.Array:

@@ -86,7 +86,10 @@ def depth_dependent_lateral_blur(
     shifted = jnp.stack(
         [jax.lax.slice_in_dim(padded, j, j + n_rays, axis=0) for j in range(2 * rmax + 1)]
     )  # (2R+1, n_rays, n_samples)
-    return jnp.einsum("krz,zk->rz", shifted, bank)
+    # full precision: the TPU default bf16-rounds einsum contractions;
+    # this is the parity-pinned pulse conv (r5, cf. geometry/fan.py)
+    return jnp.einsum("krz,zk->rz", shifted, bank,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("alpha",))

@@ -112,7 +112,11 @@ def rotvec_to_matrix(rotvec: jax.Array) -> jax.Array:
          [-wy, wx, 0.0]], dtype=rotvec.dtype
     )
     eye = jnp.eye(3, dtype=rotvec.dtype)
-    return eye + sinc * K + cosc * (K @ K)
+    # HIGHEST precision: the TPU default matmul bf16-rounds K @ K, which
+    # rounds the ROTATION MATRIX itself and (with the fan product, see
+    # geometry/fan.py) plateaued TPU pose descents ~5-10x short of the
+    # CPU result (r5).  A 3x3 product; full precision is free.
+    return eye + sinc * K + cosc * jnp.matmul(K, K, precision=jax.lax.Precision.HIGHEST)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -133,3 +133,33 @@ def test_point_to_slice_mappings(rng):
     mri_slice, mri_idx = us_to_mri_slice(3, 4, 2, eye, t1_vol, eye)
     np.testing.assert_array_equal(np.asarray(mri_idx), [2, 3, 4])
     np.testing.assert_allclose(np.asarray(mri_slice), np.asarray(t1_vol[2, :, :]))
+
+
+def test_pose_and_coordinate_matmuls_are_full_precision():
+    """Every matmul that produces COORDINATES or ROTATIONS must carry
+    precision=HIGHEST: the TPU default bf16-rounds dot_general inputs,
+    which put ~1e-3 relative noise on ray directions and plateaued TPU
+    pose descents 5-10x short of the CPU result from identical seeds
+    (r5 — the envelope run failed at radius 6 until this).  CPU tests
+    cannot observe the rounding, so pin the lowered-HLO attribute."""
+    import jax
+
+    from diffus_tpu.geometry.fan import pose_fan_directions
+    from diffus_tpu.geometry.affine import transform_point, transform_direction
+    from diffus_tpu.types import TransducerPose, BeamGeometry
+
+    def dots(fn, *args):
+        txt = jax.jit(fn).lower(*args).as_text()
+        return [l for l in txt.splitlines() if "dot_general" in l]
+
+    geom = BeamGeometry(n_rays=8, num_samples=4)
+    for fn, args in [
+        (lambda p: pose_fan_directions(p, geom),
+         (TransducerPose.create(jnp.zeros(3)),)),
+        (transform_point, (jnp.ones(3), jnp.eye(4), jnp.eye(4) * 1.0)),
+        (transform_direction, (jnp.ones(3), jnp.eye(4), jnp.eye(4) * 1.0)),
+    ]:
+        lines = dots(fn, *args)
+        assert lines, "expected at least one dot_general"
+        for l in lines:
+            assert "precision = [HIGHEST, HIGHEST]" in l, l
