@@ -716,3 +716,37 @@ def test_service_remove_scene():
     s._drain()
     assert req.event.is_set() and req.error is None
     assert np.all(np.isfinite(np.asarray(req.result)))
+
+
+def test_service_above_capacity_stages_host_tile3d(monkeypatch):
+    """Above the placement capacity, an exact-trilinear scene stages the
+    HOST-BUILT one-take f32 3D tile (1.66x over the 2-take tile at
+    512^3, probe_host3d_r5) and renders identically to the raw path."""
+    import diffus_tpu.serve as serve_mod
+    from diffus_tpu.ops.sampling import Tile3dVolume
+
+    vol = brain_phantom_3d((20, 20, 20))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear")
+    want = np.asarray(
+        RendererService(vol, geom, cfg, batch_tiers=(1,))
+        .render(np.array([10.0, 1.0, 10.0], np.float32))[0]
+    )
+    # shrink the capacity so the 20^3 volume counts as "huge", and force
+    # the TPU trace-time sampler resolution (CPU resolves to plain
+    # trilinear, which skips the tile staging branch entirely)
+    import diffus_tpu.render.renderer as rmod
+
+    monkeypatch.setattr(serve_mod.RendererService, "_PLACEMENT_BYTES", 1_000)
+    monkeypatch.setattr(
+        rmod, "_resolve_sampler",
+        lambda interp, n=0, step=1.0: "trilinear_tile"
+        if interp == "trilinear" else interp,
+    )
+    s = RendererService(vol, geom, cfg, batch_tiers=(1,))
+    sc = s._get_scene("default")
+    assert isinstance(sc.staged, Tile3dVolume)
+    assert sc.staged.table.dtype == jnp.float32  # exact mode
+    assert s.scenes()["default"]["staged"] == "tile3d"
+    got = np.asarray(s.render(np.array([10.0, 1.0, 10.0], np.float32))[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
