@@ -109,6 +109,21 @@ def main():
     changed = not np.allclose(frames, frames2)
     print(f"volume swapped; frames changed: {changed}")
 
+    # multi-scene: stage a second resident case over the wire (the
+    # reference's per-case REUBEN workflow) and route requests to it
+    buf = io.BytesIO()
+    np.save(buf, np.roll(np.asarray(svc.volume), d // 4, axis=1))
+    post(f"{url}/add_scene",
+         {"name": "case_b", "npy_b64": base64.b64encode(buf.getvalue()).decode()})
+    with urllib.request.urlopen(f"{url}/scenes", timeout=30) as r:
+        print("resident scenes:", json.load(r))
+    frames_b = decode_frames(post(
+        f"{url}/render", {"sources": sources.tolist(), "scene": "case_b"}
+    ))
+    print(f"scene routing works: case_b frames differ: "
+          f"{not np.allclose(frames2, frames_b)}")
+    post(f"{url}/remove_scene", {"name": "case_b"})
+
     with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
         print("stats:", json.load(r))
     server.shutdown()
