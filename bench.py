@@ -278,7 +278,13 @@ def main():
             attenuation_coeff=1e-4, interp="trilinear", use_pallas=True
         ),
     )
-    x, y, _, frame = render_frame(vol128, srcs[0], dirs128, samples, tcfg.render)
+    # target rendered with the PLAIN config: the first pallas dispatch
+    # must happen INSIDE the fallback try below, or a degraded Mosaic
+    # service crashes the bench at target construction (self-review r5)
+    x, y, _, frame = render_frame(
+        vol128, srcs[0], dirs128, samples,
+        RenderConfig(attenuation_coeff=1e-4, interp="trilinear"),
+    )
     target = splat_frame((x, y, None), frame, (0, 1), (128, 128))
     params = init_params(jax.random.PRNGKey(0))
     opt_state = optax.adam(tcfg.lr).init(params)
@@ -339,10 +345,15 @@ def main():
     # reported for the vs-target read.  The trilinear gate is on the
     # MEDIAN of 3 independent loops (the artifact of record); the
     # per-loop spread is reported alongside.
+    # per-metric floors: nearest's own historical band is 2664-2704
+    # (r3-r5) — gating it against the trilinear target would let a 2.4x
+    # nearest regression ship green (self-review r5)
+    NEAREST_FLOOR = 2500.0
+    TRILINEAR_FLOOR = 0.95 * TARGET_FPS
     gates = {
         "parity": parity_err < 1e-5,
-        "nearest_fps": fps >= 0.95 * TARGET_FPS,
-        "trilinear_fps": trilinear_fps >= 0.95 * TARGET_FPS,
+        "nearest_fps": fps >= NEAREST_FLOOR,
+        "trilinear_fps": trilinear_fps >= TRILINEAR_FLOOR,
     }
     ok = all(gates.values())
 
@@ -365,7 +376,7 @@ def main():
                 "sync_ms": round(sync_ms, 2),
                 "parity_max_rel_err": parity_err,
                 "target_fps": TARGET_FPS,
-                "gate_floor_fps": round(0.95 * TARGET_FPS, 1),
+                "gate_floors_fps": {"nearest": NEAREST_FLOOR, "trilinear": TRILINEAR_FLOOR},
                 "pallas": use_pallas,
                 "trilinear_pallas_prop": tri_pallas,
                 "train_pallas_prop": train_pallas,

@@ -762,7 +762,7 @@ def prepare_tile3d_volume(volume, dtype=jnp.bfloat16) -> Tile3dVolume:
     return Tile3dVolume(table, nd, na, nb, tuple(volume.shape))
 
 
-def prepare_tile3d_volume_host(volume, dtype=None) -> Tile3dVolume:
+def prepare_tile3d_volume_host(volume, dtype=None, device=None) -> Tile3dVolume:
     """Build the overlapped 3D tile table ON THE HOST (numpy) — the
     above-capacity staging path for big clinical scans (512^3-class).
 
@@ -781,6 +781,9 @@ def prepare_tile3d_volume_host(volume, dtype=None) -> Tile3dVolume:
 
     ``dtype=None`` preserves the volume's dtype (f32 in => EXACT f32
     table); pass ``jnp.bfloat16`` for the half-size lossy table.
+    ``device`` commits the staged table to a specific device (a
+    multi-hundred-MB table landing on the wrong chip re-transfers per
+    dispatch — serve passes its bound device).
     """
     if isinstance(volume, Tile3dVolume):
         return volume
@@ -805,7 +808,11 @@ def prepare_tile3d_volume_host(volume, dtype=None) -> Tile3dVolume:
     table = np.ascontiguousarray(win[::sx, ::sy, ::sz]).reshape(
         nd * na * nb, tx * ty * tz
     )
-    return Tile3dVolume(jnp.asarray(table), nd, na, nb, (d, h, w))
+    staged = (
+        jax.device_put(table, device) if device is not None
+        else jnp.asarray(table)
+    )
+    return Tile3dVolume(staged, nd, na, nb, (d, h, w))
 
 
 def _sample_tile3d(tv: Tile3dVolume, points: jax.Array):

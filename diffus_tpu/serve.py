@@ -216,26 +216,23 @@ class RendererService:
         on-chip placement capacity, 6-9x at 512^3, r4; client
         coordinates are UNCHANGED, sources are translated internally),
         then placement-aware preparation (:meth:`_prepare`)."""
+        host = np.asarray(volume, np.float32)
         crop_slices = None
         offset = None
-        orig_shape = tuple(np.shape(volume))
+        orig_shape = tuple(host.shape)
         if crop:
             from diffus_tpu.scene import crop_to_content
 
-            cropped, off = crop_to_content(
-                np.asarray(volume, np.float32), margin=crop_margin
-            )
+            cropped, off = crop_to_content(host, margin=crop_margin)
             crop_slices = tuple(
                 slice(int(o), int(o) + s) for o, s in zip(off, cropped.shape)
             )
             offset = jax.device_put(jnp.asarray(off, jnp.float32), self._device)
-            volume = cropped
-        staged_vol = jax.device_put(
-            jnp.asarray(volume, jnp.float32), self._device
-        )
+            host = np.asarray(cropped)
+        staged_vol = jax.device_put(jnp.asarray(host), self._device)
         return _Scene(
-            staged_vol, self._prepare(staged_vol), offset, crop_slices,
-            crop_margin, orig_shape,
+            staged_vol, self._prepare(staged_vol, host_volume=host), offset,
+            crop_slices, crop_margin, orig_shape,
         )
 
     def _get_scene(self, name: str) -> _Scene:
@@ -264,17 +261,25 @@ class RendererService:
 
     def remove_scene(self, name: str) -> None:
         """Evict a resident case (its HBM is freed once in-flight
-        requests holding the snapshot drain).  The last resident scene
-        cannot be removed — a renderer service with nothing to render
-        is a construction-time mistake surfaced late."""
+        requests holding the snapshot drain).  The constructor-bound
+        ``"default"`` scene cannot be removed: it anchors the
+        single-scene API surface (the ``volume`` property,
+        scene-defaulted render/recover/update calls, HTTP requests
+        without a ``"scene"`` key) — evicting it would turn every one
+        of those into a KeyError (self-review r5).  Swap its data with
+        :meth:`update_volume` instead."""
         with self._lock:
             if name not in self._scenes:
                 resident = sorted(self._scenes)
                 raise KeyError(
                     f"unknown scene {name!r}; resident scenes: {resident}"
                 )
-            if len(self._scenes) == 1:
-                raise ValueError("cannot remove the last resident scene")
+            if name == "default":
+                raise ValueError(
+                    "the constructor scene 'default' cannot be removed "
+                    "(it anchors the single-scene API); swap its data "
+                    "with update_volume instead"
+                )
             del self._scenes[name]
 
     def scenes(self) -> dict:
@@ -300,7 +305,7 @@ class RendererService:
             }
         return out
 
-    def _prepare(self, volume):
+    def _prepare(self, volume, host_volume=None):
         """Stage the scene: RAW volume for normal sizes, a pre-built
         tile table only for volumes too big to place on-chip anyway.
 
@@ -354,11 +359,20 @@ class RendererService:
                     # _route_tile_family switches the sampler when it
                     # sees the prepared Tile3dVolume.  Explicit K=2
                     # opt-ins keep their requested table family.
+                    # Build from the caller's HOST copy when available —
+                    # np.asarray on the staged device array would pull
+                    # the ~512 MB volume straight back through the relay
+                    # (self-review r5) — and commit the table to the
+                    # bound device.
                     from diffus_tpu.ops.sampling import (
                         prepare_tile3d_volume_host,
                     )
 
-                    staged = prepare_tile3d_volume_host(staged)
+                    staged = prepare_tile3d_volume_host(
+                        host_volume if host_volume is not None else staged,
+                        dtype=staged.dtype,
+                        device=self._device,
+                    )
                 else:
                     from diffus_tpu.ops.sampling import prepare_tile_volume
 
@@ -697,7 +711,11 @@ class RendererService:
         the snapshot it holds (each dispatch is internally
         consistent)."""
         old = self._get_scene(scene)
-        new = jnp.asarray(volume, jnp.float32)
+        # stay in numpy until the single device_put at the end: jnp
+        # conversion up front would stage the volume on the default
+        # device only to pull it back for crops/table builds
+        # (self-review r5)
+        new = np.asarray(volume, np.float32)
         cropped_new = new
         if old.crop_slices is not None and new.shape == old.orig_shape:
             # same-ORIGINAL-shape update on a cropped scene: re-apply the
@@ -706,22 +724,22 @@ class RendererService:
             # and recomputes the crop — the old box would be stale)
             sl = old.crop_slices
             cropped_new = new[sl[0], sl[1], sl[2]]
-        if cropped_new.shape != old.volume.shape:
+        if cropped_new.shape != tuple(old.volume.shape):
             if not allow_reshape:
                 raise ValueError(
                     f"volume shape {new.shape} != staged "
-                    f"{old.volume.shape} for scene {scene!r}; pass "
+                    f"{tuple(old.volume.shape)} for scene {scene!r}; pass "
                     "allow_reshape=True to re-stage (next dispatch "
                     "recompiles) or add a new scene"
                 )
             sc = self._make_scene(
-                np.asarray(new), old.crop_slices is not None, old.crop_margin
+                new, old.crop_slices is not None, old.crop_margin
             )
         else:
-            staged_vol = jax.device_put(cropped_new, self._device)
+            staged_vol = jax.device_put(jnp.asarray(cropped_new), self._device)
             sc = _Scene(
-                staged_vol, self._prepare(staged_vol), old.offset,
-                old.crop_slices, old.crop_margin, old.orig_shape,
+                staged_vol, self._prepare(staged_vol, host_volume=cropped_new),
+                old.offset, old.crop_slices, old.crop_margin, old.orig_shape,
             )
         with self._lock:
             self._scenes[scene] = sc

@@ -235,10 +235,17 @@ def recover_pose_multistart_annealed(
 @partial(jax.jit, static_argnames=("cfg",))
 def score_poses(volume, target_frame, poses: TransducerPose, cfg: AnnealedPoseConfig):
     """Coarse-blur MSE score of a batch of candidate poses (forward
-    renders only, no gradients; one jitted vmap).  Blur sigma is the
-    annealed schedule's coarsest phase — the widest basin the descent
-    itself will see, so a candidate that scores well here is inside the
-    descent's capture range."""
+    renders only, no gradients).  Blur sigma is the annealed schedule's
+    coarsest phase — the widest basin the descent itself will see, so a
+    candidate that scores well here is inside the descent's capture
+    range.
+
+    Chunked ``lax.map`` over 8-pose vmaps, NOT one flat vmap: the grid
+    stage scores up to ~770 candidates, and wide trilinear pose vmaps
+    materialize their gather intermediates (the measured ~2.5x
+    cliff behind ``render_sweep``'s chunking — docs/benchmarking.md;
+    a 700-wide vmap at 64x128 rays/samples would stage ~6 GB of
+    gathered rows)."""
     base = cfg.as_base()
     sigma = cfg.phases[0][0]
     target_b = gaussian_blur_frame(target_frame, sigma)
@@ -247,7 +254,22 @@ def score_poses(volume, target_frame, poses: TransducerPose, cfg: AnnealedPoseCo
         frame = gaussian_blur_frame(render_pose(volume, p, base), sigma)
         return jnp.mean((frame - target_b) ** 2)
 
-    return jax.vmap(one)(poses)
+    n = poses.position.shape[0]
+    chunk = 8
+    pad = (-n) % chunk
+    padded = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]
+        )
+        if pad
+        else x,
+        poses,
+    )
+    chunks = jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, chunk, *x.shape[1:]), padded
+    )
+    scores = jax.lax.map(lambda c: jax.vmap(one)(c), chunks)
+    return scores.reshape(-1)[:n]
 
 
 def recover_pose_global(

@@ -592,3 +592,17 @@ def test_host_tile3d_through_renderer(rng):
     _, _, _, got = rmod.render_frame(tv, src, dirs, 23, cfg)
     scale = float(np.max(np.abs(np.asarray(want)))) + 1e-30
     assert np.max(np.abs(np.asarray(got) - np.asarray(want))) / scale < 1e-5
+
+
+def test_prepare_tile3d_volume_host_device_placement(rng):
+    """The host-built table commits to the requested device (a
+    multi-hundred-MB table on the wrong chip would re-transfer per
+    dispatch — self-review r5)."""
+    import jax
+
+    from diffus_tpu.ops.sampling import prepare_tile3d_volume_host
+
+    target = jax.devices()[3 % len(jax.devices())]
+    vol = rng.random((17, 13, 15)).astype(np.float32)
+    tv = prepare_tile3d_volume_host(vol, device=target)
+    assert tv.table.devices() == {target}

@@ -699,8 +699,8 @@ def test_service_remove_scene():
     assert set(s.scenes()) == {"default"}
     with pytest.raises(KeyError, match="resident scenes"):
         s.remove_scene("b")
-    with pytest.raises(ValueError, match="last resident"):
-        s.remove_scene("default")
+    with pytest.raises(ValueError, match="cannot be removed"):
+        s.remove_scene("default")  # the constructor scene anchors the API
     # in-flight snapshots survive removal: a request holding the scene
     # object still renders (consistency contract)
     from diffus_tpu.serve import _Pending
