@@ -396,4 +396,28 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — device-init/tunnel failures must
+        # still leave ONE parseable JSON record (the driver captures stdout as the
+        # round's bench artifact; a bare traceback there is uninterpretable).
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "bmode_frames_per_sec_256rays_512samples_256cube",
+                    "value": 0.0,
+                    "unit": "frames/sec",
+                    "vs_baseline": 0.0,
+                    "pass": False,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(1)
