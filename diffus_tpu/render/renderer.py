@@ -39,6 +39,14 @@ from diffus_tpu.ops.sampling import ray_points, SAMPLERS
 
 _DEFAULT_CONFIG = RenderConfig()
 
+# On-chip gather-operand placement capacity (v5e, measured r4,
+# probe_arg_r4/probe_cliff_r4): in-jit tables place in fast on-chip
+# memory only up to ~128 MB.  render_sweep warns (or, for the explicit
+# exact one-take f32 3D tile, host-builds) past this.  Module-level so
+# tests can exercise the over-capacity paths on small volumes; serve.py
+# keeps its own slightly more conservative staging threshold.
+_PLACEMENT_WARN_BYTES = 125_000_000
+
 
 def _resolve_sampler(interp: str, num_samples: int = 0, step: float = 1.0) -> str:
     """On TPU, plain nearest upgrades to the lane-aligned row-gather
@@ -483,6 +491,7 @@ def render_sweep(
     if resolved in (
         "trilinear_tile", "trilinear_tile_k2", "trilinear_tile_k2i",
         "trilinear_tile_fused", "trilinear_tile3d_bf16",
+        "trilinear_tile3d_f32",
     ):
         from diffus_tpu.ops.sampling import (
             TileVolume,
@@ -517,6 +526,10 @@ def render_sweep(
 
             if resolved == "trilinear_tile3d_bf16":
                 table_bytes = tile3d_table_bytes(volume.shape)
+            elif resolved == "trilinear_tile3d_f32":
+                table_bytes = tile3d_table_bytes(
+                    volume.shape, itemsize=volume.dtype.itemsize
+                )
             else:
                 strides = (
                     (6, 14)
@@ -526,7 +539,17 @@ def render_sweep(
                 table_bytes = tile_table_bytes(
                     volume.shape, *strides, itemsize=volume.dtype.itemsize
                 )
-            if table_bytes > 125_000_000:
+            if (table_bytes > _PLACEMENT_WARN_BYTES
+                    and resolved == "trilinear_tile3d_f32"):
+                # explicit exact one-take mode above the placement
+                # capacity: the in-XLA f32 build OOMs at 512^3 (~19 GB
+                # transpose intermediate) — build on the host instead
+                # (the adopted above-capacity staging, probe_host3d_r5);
+                # no warning needed, this IS the fix the warning names.
+                from diffus_tpu.ops.sampling import prepare_tile3d_volume_host
+
+                volume = prepare_tile3d_volume_host(volume, dtype=volume.dtype)
+            elif table_bytes > _PLACEMENT_WARN_BYTES:
                 import warnings
 
                 warnings.warn(

@@ -216,10 +216,17 @@ class RendererService:
         on-chip placement capacity, 6-9x at 512^3, r4; client
         coordinates are UNCHANGED, sources are translated internally),
         then placement-aware preparation (:meth:`_prepare`)."""
-        host = np.asarray(volume, np.float32)
+        # Device-resident input stays on device: np.asarray on a
+        # jax.Array pulls the whole volume back through the relay
+        # (seconds at 512^3) only to push it right back.  A host copy is
+        # made only when actually used — for the content crop here, or
+        # by _prepare's above-capacity host table build (which falls
+        # back to pulling the staged array itself when host is None).
+        needs_host = crop or not isinstance(volume, jax.Array)
+        host = np.asarray(volume, np.float32) if needs_host else None
         crop_slices = None
         offset = None
-        orig_shape = tuple(host.shape)
+        orig_shape = tuple(volume.shape)
         if crop:
             from diffus_tpu.scene import crop_to_content
 
@@ -229,7 +236,12 @@ class RendererService:
             )
             offset = jax.device_put(jnp.asarray(off, jnp.float32), self._device)
             host = np.asarray(cropped)
-        staged_vol = jax.device_put(jnp.asarray(host), self._device)
+        if host is not None:
+            staged_vol = jax.device_put(jnp.asarray(host), self._device)
+        else:
+            staged_vol = jax.device_put(
+                volume.astype(jnp.float32), self._device
+            )
         return _Scene(
             staged_vol, self._prepare(staged_vol, host_volume=host), offset,
             crop_slices, crop_margin, orig_shape,
@@ -238,7 +250,9 @@ class RendererService:
     def _get_scene(self, name: str) -> _Scene:
         with self._lock:
             sc = self._scenes.get(name)
-            resident = sorted(self._scenes)
+            # the resident listing is only for the error message — don't
+            # sort the registry on every hit in the request hot path
+            resident = sorted(self._scenes) if sc is None else None
         if sc is None:
             raise KeyError(
                 f"unknown scene {name!r}; resident scenes: {resident}"
@@ -281,6 +295,13 @@ class RendererService:
                     "with update_volume instead"
                 )
             del self._scenes[name]
+            # drop the per-scene counters with the scene: /stats must not
+            # report ghost scenes forever, and a later add_scene under the
+            # same name must start from zero rather than silently inherit
+            # the evicted case's counts.  In-flight requests holding the
+            # old snapshot recreate the entry via setdefault if they land
+            # after this — late traffic is still counted, just afresh.
+            self._scene_stats.pop(name, None)
 
     def scenes(self) -> dict:
         """Resident-scene inventory: shape, crop box, and how the scene
@@ -332,6 +353,19 @@ class RendererService:
             float(self.geometry.step),
         )
         staged = volume
+        # Single-transfer placement target: a multi-hundred-MB host-built
+        # table must land committed where it will be consumed.  Committing
+        # it to the bound device and THEN re-device_put'ing to the mesh
+        # sharding would push it through the relay twice (and transiently
+        # hold it twice) — build straight to the mesh sharding instead
+        # (code-review r5).
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            placement = NamedSharding(self._mesh, PartitionSpec())
+        else:
+            placement = self._device
+        host_built = False
         tile2d = ("trilinear_tile", "trilinear_tile_k2", "trilinear_tile_k2i",
                   "trilinear_tile_fused")
         if self.config.dtype == "bfloat16" and resolved in tile2d:
@@ -371,8 +405,9 @@ class RendererService:
                     staged = prepare_tile3d_volume_host(
                         host_volume if host_volume is not None else staged,
                         dtype=staged.dtype,
-                        device=self._device,
+                        device=placement,
                     )
+                    host_built = True
                 else:
                     from diffus_tpu.ops.sampling import prepare_tile_volume
 
@@ -386,14 +421,30 @@ class RendererService:
                 from diffus_tpu.ops.sampling import prepare_tile3d_volume
 
                 staged = jax.jit(prepare_tile3d_volume)(staged)
-        if self._mesh is not None:
-            # replicate on the mesh ONCE: the r3 code re-device_put the
-            # volume per request (ADVICE r3, medium)
-            from jax.sharding import NamedSharding, PartitionSpec
+        elif resolved == "trilinear_tile3d_f32":
+            # explicit exact one-take mode: above the placement capacity
+            # the in-XLA f32 table build OOMs at 512^3 (~19 GB transpose
+            # intermediate) — stage the host-built table, exactly like the
+            # auto-routed 'trilinear_tile' case above (code-review r5).
+            # Below capacity the in-jit build stays the measured optimum.
+            from diffus_tpu.ops.sampling import tile3d_table_bytes
 
-            staged = jax.device_put(
-                staged, NamedSharding(self._mesh, PartitionSpec())
-            )
+            if tile3d_table_bytes(
+                staged.shape, itemsize=staged.dtype.itemsize
+            ) > self._PLACEMENT_BYTES:
+                from diffus_tpu.ops.sampling import prepare_tile3d_volume_host
+
+                staged = prepare_tile3d_volume_host(
+                    host_volume if host_volume is not None else staged,
+                    dtype=staged.dtype,
+                    device=placement,
+                )
+                host_built = True
+        if self._mesh is not None and not host_built:
+            # replicate on the mesh ONCE: the r3 code re-device_put the
+            # volume per request (ADVICE r3, medium); host-built tables
+            # were already committed straight to the mesh sharding
+            staged = jax.device_put(staged, placement)
         return staged
 
     def _tier(self, n: int) -> int:
@@ -541,10 +592,16 @@ class RendererService:
                 if self._adaptive:
                     # self-tuning straggler window: coalescing happened →
                     # waiting pays, grow; lone request → the window was
-                    # pure latency tax, shrink (bounded both ways)
+                    # pure latency tax, shrink (bounded both ways).  A
+                    # lone batch with DEFERRED work left (other scenes, or
+                    # an over-full tier) is scene-constrained, not idle —
+                    # shrinking on it would collapse the window under
+                    # interleaved multi-scene traffic and stop genuinely
+                    # concurrent same-scene singletons from coalescing
+                    # (code-review r5).
                     if len(batch) > 1:
                         self._window = min(self._wmax, self._window * 1.5)
-                    else:
+                    elif not rest:
                         self._window = max(self._wmin, self._window * 0.5)
                 volume = scene.staged  # one volume per dispatched batch
             try:

@@ -157,11 +157,21 @@ class RenderConfig:
     the older notebook (``[DEPR] fix_propagation...`` cell 8), and
     ``'physical'`` the impedance-weighted convention of the physics doc,
     ``R_{i+1,i} = -R_{i,i+1} Z_i/Z_{i+1}`` (``forward_physics.md:66``).
+
+    Beyond the three canonical modes, any registered explicit sampler
+    name (``diffus_tpu.ops.sampling.SAMPLERS``) is accepted as an
+    advanced opt-in — e.g. ``'trilinear_tile3d_f32'`` (the exact
+    one-take 3D-tile mode; above the placement capacity the sweep and
+    serving layers stage its table host-built, probe_host3d_r5) or
+    ``'trilinear_tile_k2'`` (the measured-refuted K=2 family, kept
+    reachable for evidence).  The canonical modes remain the measured
+    defaults — the explicit names skip the backend auto-selection.
     """
 
     attenuation_coeff: float = 0.5
     start: float | int = 0
-    interp: Literal["nearest", "trilinear", "trilinear_bf16"] = "nearest"
+    interp: str = "nearest"  # canonical: nearest | trilinear | trilinear_bf16;
+                             # plus the explicit sampler names (docstring)
     reflection_mode: Literal["parity", "symmetric", "physical"] = "parity"
     use_pallas: bool = False
     pulse_length: int = 0   # >0 enables Gaussian transducer-pulse convolution
@@ -178,8 +188,19 @@ class RenderConfig:
     sharpen_alpha: float = 5.0
     dtype: str = "float32"
 
+    # mirrors diffus_tpu.ops.sampling.SAMPLERS (rot-guarded by test) —
+    # hardcoded here so the leaf types module never imports the ops layer
+    _EXPLICIT_SAMPLERS = (
+        "nearest_rows", "trilinear_rows", "trilinear_rows2",
+        "trilinear_tile", "trilinear_tile_k2", "trilinear_tile_k2i",
+        "trilinear_tile_fused", "trilinear_tile3d_bf16",
+        "trilinear_tile3d_f32", "trilinear_fused",
+    )
+
     def __post_init__(self):
-        if self.interp not in ("nearest", "trilinear", "trilinear_bf16"):
+        if self.interp not in (
+            ("nearest", "trilinear", "trilinear_bf16") + self._EXPLICIT_SAMPLERS
+        ):
             raise ValueError(f"unknown interp {self.interp!r}")
         if self.reflection_mode not in ("parity", "symmetric", "physical"):
             raise ValueError(f"unknown reflection_mode {self.reflection_mode!r}")

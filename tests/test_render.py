@@ -597,3 +597,37 @@ def test_sweep_capacity_warning_sizes_the_actual_table(monkeypatch):
         _warnings.simplefilter("always")
         sweep(RenderConfig(attenuation_coeff=1e-4, interp="trilinear"), 320)
     assert [x for x in w if "gather table" in str(x.message)]
+
+
+def test_render_sweep_tile3d_f32_hoists_host_table_above_capacity(
+    monkeypatch, rng
+):
+    """An explicit exact one-take f32 sweep above the placement capacity
+    host-builds the Tile3dVolume once per dispatch instead of warning
+    (the in-XLA build is the thing that OOMs at 512^3, code-review r5);
+    the staging is bit-identical to the under-capacity in-jit build."""
+    import warnings
+
+    from diffus_tpu.ops import sampling as smod
+    from diffus_tpu.render import renderer as rmod
+
+    vol = jnp.asarray(rng.uniform(0.5, 2.0, (16, 16, 16)).astype(np.float32))
+    dirs = fan_directions_2d([0.0, 1.0], np.radians(40.0), 4)
+    srcs = jnp.asarray(np.tile([8.0, 1.0, 8.0], (2, 1)).astype(np.float32))
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear_tile3d_f32")
+
+    want = rmod.render_sweep(vol, srcs, dirs, 10, cfg)[3]  # under capacity
+
+    calls = []
+    orig_host = smod.prepare_tile3d_volume_host
+    monkeypatch.setattr(
+        smod, "prepare_tile3d_volume_host",
+        lambda *a, **k: calls.append(1) or orig_host(*a, **k),
+    )
+    monkeypatch.setattr(rmod, "_PLACEMENT_WARN_BYTES", 1_000)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = rmod.render_sweep(vol, srcs, dirs, 10, cfg)[3]
+    assert calls == [1]  # the host build ran (and only once)
+    assert not [x for x in w if "placement capacity" in str(x.message)]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

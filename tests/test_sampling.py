@@ -606,3 +606,21 @@ def test_prepare_tile3d_volume_host_device_placement(rng):
     vol = rng.random((17, 13, 15)).astype(np.float32)
     tv = prepare_tile3d_volume_host(vol, device=target)
     assert tv.table.devices() == {target}
+
+
+def test_config_explicit_interp_names_resolve(rng):
+    """RenderConfig accepts every registered explicit sampler name
+    (advanced opt-ins, r5) and each resolves to a real SAMPLERS entry —
+    a rot guard for the hardcoded mirror in types.py (the leaf types
+    module must not import the ops layer)."""
+    from diffus_tpu.ops.sampling import SAMPLERS
+    from diffus_tpu.render.renderer import _resolve_sampler
+    from diffus_tpu.types import RenderConfig
+
+    import pytest
+
+    for name in RenderConfig._EXPLICIT_SAMPLERS:
+        cfg = RenderConfig(attenuation_coeff=1e-4, interp=name)  # validates
+        assert _resolve_sampler(cfg.interp, 8, 1.0) in SAMPLERS
+    with pytest.raises(ValueError, match="unknown interp"):
+        RenderConfig(interp="trilinear_typo")

@@ -750,3 +750,120 @@ def test_service_above_capacity_stages_host_tile3d(monkeypatch):
     assert s.scenes()["default"]["staged"] == "tile3d"
     got = np.asarray(s.render(np.array([10.0, 1.0, 10.0], np.float32))[0])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# --- round 5 code-review fixes ----------------------------------------------
+
+
+def test_service_above_capacity_explicit_tile3d_f32(monkeypatch):
+    """The EXPLICIT exact one-take mode (interp='trilinear_tile3d_f32')
+    must also get the above-capacity host-built staging — the in-XLA f32
+    table build OOMs at 512^3 (code-review r5); parity with the
+    under-capacity in-jit build is exact (the tables are bit-identical)."""
+    import diffus_tpu.serve as serve_mod
+    from diffus_tpu.ops.sampling import Tile3dVolume
+
+    vol = brain_phantom_3d((20, 20, 20))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    cfg = RenderConfig(attenuation_coeff=1e-4, interp="trilinear_tile3d_f32")
+    src = np.array([10.0, 1.0, 10.0], np.float32)
+    want = np.asarray(
+        RendererService(vol, geom, cfg, batch_tiers=(1,)).render(src)[0]
+    )
+    monkeypatch.setattr(serve_mod.RendererService, "_PLACEMENT_BYTES", 1_000)
+    s = RendererService(vol, geom, cfg, batch_tiers=(1,))
+    sc = s._get_scene("default")
+    assert isinstance(sc.staged, Tile3dVolume)
+    assert sc.staged.table.dtype == jnp.float32
+    got = np.asarray(s.render(src)[0])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_remove_scene_drops_stats():
+    """Evicting a scene drops its per-scene counters: /stats must not
+    report ghost scenes, and a re-added namesake starts from zero
+    (code-review r5)."""
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(vol, geom, RenderConfig(attenuation_coeff=1e-4),
+                        batch_tiers=(1,))
+    s.add_scene("b", np.asarray(vol) * 2.0)
+    src = np.array([8.0, 1.0, 8.0], np.float32)
+    s.render(src, scene="b")
+    assert s.snapshot_stats()["scenes"]["b"]["requests"] == 1
+    s.remove_scene("b")
+    assert "b" not in s.snapshot_stats()["scenes"]
+    s.add_scene("b", np.asarray(vol) * 2.0)
+    assert s.snapshot_stats()["scenes"]["b"]["requests"] == 0
+
+
+def test_adaptive_window_ignores_scene_constrained_lone_rounds():
+    """A lone drain round with DEFERRED other-scene work left is
+    scene-constrained, not idle: the adaptive controller must not shrink
+    on it, or interleaved multi-scene traffic collapses the window to the
+    floor and same-scene singletons stop coalescing (code-review r5)."""
+    from diffus_tpu.serve import _Pending
+
+    vol = brain_phantom_3d((16, 16, 16))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    s = RendererService(
+        vol, geom, RenderConfig(attenuation_coeff=1e-4), batch_tiers=(1, 4),
+        adaptive_window=True, coalesce_window_s=0.004,
+        window_bounds_s=(0.001, 0.008),
+    )
+    s.add_scene("b", np.asarray(vol) * 2.0)
+    s.warmup()
+    sc_a = s._get_scene("default")
+    sc_b = s._get_scene("b")
+    src = jnp.asarray(np.array([[8.0, 1.0, 8.0]], np.float32))
+    reqs = [_Pending(src, sc_a), _Pending(src, sc_b)]
+    with s._lock:
+        s._queue.extend(reqs)
+        s._dispatching = True
+    s._drain()
+    for r in reqs:
+        assert r.event.is_set() and r.error is None
+    # round 1 (scene A, lone, scene B deferred): NO shrink; round 2
+    # (scene B, lone, queue empty): one genuine shrink.  The old
+    # controller halved twice (4 -> 1 ms).
+    assert s.snapshot_stats()["window_ms"] == 2.0
+
+
+def test_add_scene_device_array_stays_on_device():
+    """A device-resident volume added as a scene must not be pulled back
+    to host during staging: np.asarray on a jax.Array round-trips the
+    whole volume through the TPU relay (code-review r5)."""
+    import jax
+
+    import diffus_tpu.serve as serve_mod
+
+    vol = brain_phantom_3d((12, 12, 12))
+    geom = BeamGeometry(n_rays=4, num_samples=8)
+    cfg = RenderConfig(attenuation_coeff=1e-4)
+    s = RendererService(vol, geom, cfg, batch_tiers=(1,))
+    dev_vol = jnp.asarray(vol, jnp.float32) * 1.5
+
+    class GuardedNp:
+        def __getattr__(self, name):
+            return getattr(np, name)
+
+        @staticmethod
+        def asarray(a, *args, **kw):
+            assert not isinstance(a, jax.Array), (
+                "staging pulled a device volume back to host"
+            )
+            return np.asarray(a, *args, **kw)
+
+    orig_np = serve_mod.np
+    serve_mod.np = GuardedNp()
+    try:
+        s.add_scene("dev", dev_vol)
+    finally:
+        serve_mod.np = orig_np
+    src = np.array([6.0, 1.0, 6.0], np.float32)
+    got = np.asarray(s.render(src, scene="dev")[0])
+    want = render_frame(
+        jnp.asarray(dev_vol, jnp.float32), jnp.asarray(src), s.directions,
+        8, cfg,
+    )[3]
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6)
