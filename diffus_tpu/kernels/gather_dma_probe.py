@@ -96,7 +96,7 @@ def dma_gather_probe(offset: jax.Array, table: jax.Array, n_rows: int = 1 << 20,
         out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
